@@ -1,0 +1,188 @@
+"""Command-line driver for csa_tpu.
+
+Equivalent of the reference CLI (``/root/reference/source/csamsa.c:524-678``):
+
+========  ==========================================================
+mode      behavior
+========  ==========================================================
+(none)    Rotate + Align + Images (full pipeline)
+R         Rotation only -> ``<base>-Rotated.fasta`` + block artifacts
+A         Alignment only (rotations = 0) -> ``<base>-Aligned.fasta``
+I         Circular alignment plot only
+C         Clean/normalize a FASTA file -> ``Clean-<file>``
+S         Sum-of-pairs score + stats of an alignment
+M         Convert aligned FASTA -> MSF
+========  ==========================================================
+
+Extra (new in this framework): ``--backend {numpy,jax}``, ``--mesh``,
+``--profile``, ``--min-block-size``, ``--max-interval``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from . import __version__
+from .console import banner
+from .io import fasta as fio
+from .rotation import pipeline as rot
+from .rotation.chains import INT_MAX
+
+POSITIONS_SUFFIX = "-positions.txt"
+IMAGEMAP_SUFFIX = "-imagemap.txt"
+ROTATIONS_SUFFIX = "-Rotated.fasta"
+ALIGNMENT_SUFFIX = "-Aligned.fasta"
+BLOCKSINFO_SUFFIX = "-Blocks.csv"
+BLOCKSIMAGE_SUFFIX = "-Blocks.bmp"
+CIRCULARIMAGE_SUFFIX = "-CircularAlignment.bmp"
+
+
+def output_filename(inputfilename: str, extra: str) -> str:
+    """Join the input file's basename with a suffix (csamsa.c:44-58)."""
+    base, dot, _ = inputfilename.rpartition(".")
+    if not dot:
+        base = inputfilename
+    return base + extra
+
+
+def _load(args) -> fio.SequenceSet:
+    print(f"> Loading sequences from file <{args.input}> ... ", end="")
+    try:
+        size = os.path.getsize(args.input)
+    except OSError:
+        print()
+        raise SystemExit("\n> ERROR: Sequence file not found")
+    print(f"({size} bytes)")
+    try:
+        seqs = fio.load_fasta(args.input, log=sys.stdout)
+    except fio.FastaError as e:
+        raise SystemExit(f"\n> ERROR: {e}")
+    print(f"> {len(seqs)} sequences successfully loaded")
+    fio.discard_duplicate_rotations(seqs, log=sys.stdout)
+    return seqs
+
+
+def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
+    t0 = time.time()
+    try:
+        res = rot.analyze(
+            seqs,
+            maxinterval=args.max_interval,
+            log=sys.stdout,
+            backend=args.backend,
+        )
+    except rot.RotationError as e:
+        raise SystemExit(f"\n> ERROR: {e}")
+    rotfile = output_filename(args.input, ROTATIONS_SUFFIX)
+    fio.save_rotated(seqs, res.rotations, rotfile)
+
+    # chain report (csamsa.c:310-414 createImageAndShowResults)
+    from .report import blocks_report
+
+    blocks_report.write_blocks_artifacts(
+        args.input, seqs, res,
+        min_block_size=args.min_block_size,
+        max_block_size=args.max_block_size,
+    )
+    if args.profile:
+        print(f"> [profile] rotation phase: {time.time() - t0:.3f}s "
+              f"(backend={args.backend})")
+    return res
+
+
+def run_alignment(args, seqs: fio.SequenceSet, rotations) -> str:
+    from .align import msa
+
+    alignfile = output_filename(args.input, ALIGNMENT_SUFFIX)
+    print("> Running multiple sequence alignment...")
+    result = msa.align(seqs, rotations, backend=args.backend)
+    msa.save_alignment(seqs, rotations, result, alignfile)
+    from .tools import check
+
+    rotfile = output_filename(args.input, ROTATIONS_SUFFIX)
+    source = rotfile if os.path.exists(rotfile) else args.input
+    check.test_alignment_output(source, alignfile)
+    return alignfile
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="csa-tpu",
+        description="TPU-native multiple circular sequence aligner",
+    )
+    parser.add_argument("mode", nargs="?", default=None,
+                        help="R|A|I|C|S|M (omit for full pipeline)")
+    parser.add_argument("input", nargs="?", default=None,
+                        help="multi-FASTA file")
+    parser.add_argument("--backend", choices=["numpy", "jax"],
+                        default="jax" if os.environ.get("CSA_TPU_BACKEND") == "jax" else "numpy")
+    parser.add_argument("--min-block-size", type=int, default=10)
+    parser.add_argument("--max-block-size", type=int, default=INT_MAX)
+    parser.add_argument("--max-interval", type=int, default=INT_MAX)
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--version", action="version",
+                        version=f"csa-tpu {__version__}")
+    args = parser.parse_args(argv)
+
+    print(banner("[ csa-tpu: Multiple Circular Sequence Aligner ]"))
+
+    # reference argument convention: one arg = full pipeline on that file;
+    # two args = mode char + file (csamsa.c:539-547)
+    mode = "N"
+    if args.input is None and args.mode is not None:
+        args.input = args.mode
+    elif args.mode is not None:
+        mode = args.mode.upper()
+        if mode not in ("R", "A", "I", "C", "S", "M"):
+            mode = ""
+    if not args.input or not mode:
+        parser.print_help()
+        return 0
+
+    if mode in ("N", "R", "A"):
+        seqs = _load(args)
+
+    res = None
+    if mode in ("N", "R"):
+        print("> Building generalized cyclic suffix index...")
+        res = run_rotation(args, seqs)
+
+    alignfile = None
+    if mode in ("N", "A"):
+        import numpy as np
+
+        rotations = (res.rotations if res is not None
+                     else np.zeros(len(seqs), dtype=np.int64))
+        alignfile = run_alignment(args, seqs, rotations)
+
+    if mode in ("N", "I"):
+        from .report import circular_plot
+
+        source = alignfile if alignfile else args.input
+        out = output_filename(args.input, CIRCULARIMAGE_SUFFIX)
+        circular_plot.draw_circular_alignment_plot(source, out)
+
+    if mode == "C":
+        from .tools import clean
+
+        clean.clean_dna_fasta_file(args.input)
+
+    if mode == "S":
+        from .tools import score
+
+        score.calculate_sum_of_pairs_score(args.input)
+
+    if mode == "M":
+        from .tools import msf
+
+        msf.convert_fasta_to_msf(args.input)
+
+    print("> Done!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""8-bit palette BMP writer (equivalent of reference source/bitmap.c).
+
+Own implementation from the BMP file format: BITMAPFILEHEADER +
+BITMAPINFOHEADER + RGBQUAD palette + bottom-up, 4-byte-aligned 8-bit indexed
+pixel rows, with optional RLE8 compression.  The palette is built from the
+colors actually used (quantizing to at most 256 by nearest match), instead of
+the reference's fixed color-cube palettes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BI_RGB = 0
+BI_RLE8 = 1
+
+
+def _build_palette(img: np.ndarray):
+    """Map an (H, W, 3) uint8 image to (palette (P,3), indices (H,W))."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3).astype(np.uint32)
+    keys = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    if len(uniq) <= 256:
+        pal = np.stack(
+            [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
+        ).astype(np.uint8)
+        return pal, inverse.reshape(h, w).astype(np.uint8)
+    # too many colors: keep the 256 most frequent, snap the rest
+    counts = np.bincount(inverse)
+    top = np.argsort(-counts)[:256]
+    pal_keys = uniq[top]
+    pal = np.stack(
+        [(pal_keys >> 16) & 0xFF, (pal_keys >> 8) & 0xFF, pal_keys & 0xFF],
+        axis=1,
+    ).astype(np.int32)
+    # nearest palette color for every pixel (vectorized over unique colors)
+    ucol = np.stack(
+        [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
+    ).astype(np.int32)
+    d = (
+        (ucol[:, None, :] - pal[None, :, :]) ** 2
+    ).sum(axis=2)
+    best = np.argmin(d, axis=1).astype(np.uint8)
+    return pal.astype(np.uint8), best[inverse].reshape(h, w)
+
+
+def _rle8_encode(indices: np.ndarray) -> bytes:
+    """RLE8 encode bottom-up rows per the BMP spec (encoded runs only)."""
+    h, w = indices.shape
+    out = bytearray()
+    for row in range(h - 1, -1, -1):
+        line = indices[row]
+        i = 0
+        while i < w:
+            j = i
+            v = line[i]
+            while j < w and line[j] == v and (j - i) < 255:
+                j += 1
+            out += bytes((j - i, int(v)))
+            i = j
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def write_bmp(path: str, img: np.ndarray, rle: bool = True) -> None:
+    """Write an (H, W, 3) uint8 RGB array as an 8-bit palette BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    palette, indices = _build_palette(img)
+    pal256 = np.zeros((256, 4), dtype=np.uint8)
+    pal256[: len(palette), 0] = palette[:, 2]  # blue
+    pal256[: len(palette), 1] = palette[:, 1]  # green
+    pal256[: len(palette), 2] = palette[:, 0]  # red
+
+    if rle:
+        data = _rle8_encode(indices)
+        compression = BI_RLE8
+        raw = _raw_rows(indices)
+        if len(data) >= len(raw):  # RLE not worth it
+            data = raw
+            compression = BI_RGB
+    else:
+        data = _raw_rows(indices)
+        compression = BI_RGB
+
+    headers_size = 14 + 40 + 256 * 4
+    file_size = headers_size + len(data)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sIHHI", b"BM", file_size, 0, 0, headers_size))
+        f.write(
+            struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 8, compression, len(data),
+                2835, 2835, 256, 0,
+            )
+        )
+        f.write(pal256.tobytes())
+        f.write(data)
+
+
+def _raw_rows(indices: np.ndarray) -> bytes:
+    h, w = indices.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = indices
+    return rows[::-1].tobytes()
+
+
+def read_bmp_info(path: str) -> dict:
+    """Small BMP inspector (equivalent of bitmap.c showBitmapInfo)."""
+    with open(path, "rb") as f:
+        head = f.read(14 + 40)
+    magic, size, _, _, offset = struct.unpack("<2sIHHI", head[:14])
+    (hsz, w, h, planes, bpp, comp, imgsz, xppm, yppm, ncol, nimp) = (
+        struct.unpack("<IiiHHIIiiII", head[14:54])
+    )
+    return {
+        "magic": magic.decode(),
+        "file_size": size,
+        "data_offset": offset,
+        "width": w,
+        "height": h,
+        "bpp": bpp,
+        "compression": comp,
+        "colors": ncol,
+    }

@@ -1,0 +1,172 @@
+"""Rotation analysis pipeline: blocks -> filters -> chains -> rotations.
+
+TPU-first equivalent of the reference rotation phase
+(``/root/reference/source/csamsa.c:271-308`` ``analyzeTree``): the
+suffix-tree DFS + linked-list filter cascade is replaced by the cyclic
+suffix-array engine (:mod:`csa_tpu.index.cyclic`) plus vectorized filters,
+with an exact host-side emulation of the chain linking/selection.
+
+The pipeline produces bit-identical rotations to the reference on its own
+example sets (see tests/fixtures).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, TextIO
+
+import numpy as np
+
+from ..index import cyclic
+from ..io.fasta import SequenceSet
+from . import chains as chains_mod
+from .chains import INT_MAX, Block
+
+
+class RotationError(RuntimeError):
+    pass
+
+
+@dataclass
+class RotationResult:
+    rotations: np.ndarray  # (K,) start offset per sequence
+    blocks_sorted: List[Block]  # all blocks in final (size-sorted) list order
+    num_collected: int
+    num_after_suffix: int
+    num_after_unique: int
+    num_chains: int
+    index: Optional[cyclic.RotationIndex] = None
+    block_depths: np.ndarray = field(default_factory=lambda: np.empty(0))
+
+    def chain_heads(self) -> List[Block]:
+        return [b for b in self.blocks_sorted if b.totalsize != -1]
+
+
+def analyze(
+    seqs: SequenceSet,
+    *,
+    maxinterval: int = INT_MAX,
+    log: Optional[TextIO] = None,
+    backend: str = "numpy",
+) -> RotationResult:
+    """Compute optimal rotations for a set of circular sequences.
+
+    The console narrative mirrors the reference phase messages
+    (csamsa.c:274-303) so existing tooling that scrapes them keeps working.
+    """
+    log = log if log is not None else sys.stdout
+    sizes = seqs.sizes
+    encoded = seqs.encoded_all()
+
+    if backend == "jax":
+        from ..index import engine as jax_engine
+
+        index, blocks = jax_engine.collect_blocks_jax(encoded)
+    else:
+        index = cyclic.build_rotation_index(encoded)
+        blocks = cyclic.collect_blocks(index)
+
+    print("> Collecting maximum common subsequences... ", end="", file=log)
+    num_collected = len(blocks)
+    print(f"{num_collected} nodes found", file=log)
+    if num_collected == 0:
+        # reference reaches this via the root-only block list being filtered
+        # by the uniqueness pass (csamsa.c:290-293)
+        raise RotationError("No unique subsequences found")
+
+    print("> Removing suffixes... ", end="", file=log)
+    keep = cyclic.remove_suffix_blocks(blocks)
+    blocks = cyclic.BlockSet(
+        blocks.index, blocks.start[keep], blocks.end[keep], blocks.depth[keep]
+    )
+    num_after_suffix = len(blocks)
+    print(f"{num_after_suffix} nodes left", file=log)
+
+    print("> Removing repeats... ", end="", file=log)
+    unique, positions = blocks.positions_if_unique()
+    blocks = cyclic.BlockSet(
+        blocks.index,
+        blocks.start[unique],
+        blocks.end[unique],
+        blocks.depth[unique],
+    )
+    positions = positions[unique]
+    num_after_unique = len(blocks)
+    if num_after_unique == 0:
+        raise RotationError("No unique subsequences found")
+    print(f"{num_after_unique} nodes left", file=log)
+
+    print("> Connecting block chains... ", end="", file=log)
+    # reference list order: depth-descending (insertSortedItem,
+    # nodeslinkedlists.c:34-51); ties keep a deterministic engine order.
+    order = np.lexsort((blocks.start, -blocks.depth))
+    chain_blocks = [
+        Block(
+            depth=int(blocks.depth[i]),
+            positions=positions[i],
+            label_ref=int(blocks.start[i]),
+        )
+        for i in order
+    ]
+    chains_mod.link_blocks(chain_blocks, sizes)
+    num_chains = chains_mod.assemble_chains(chain_blocks, sizes, maxinterval)
+    print(f"{num_chains} chains found", file=log)
+
+    blocks_sorted = chains_mod.sort_by_chain_size(chain_blocks)
+    rotations = chains_mod.pick_rotations(blocks_sorted)
+    if rotations is None:
+        raise RotationError("No unique common subsequences found")
+
+    return RotationResult(
+        rotations=rotations,
+        blocks_sorted=blocks_sorted,
+        num_collected=num_collected,
+        num_after_suffix=num_after_suffix,
+        num_after_unique=num_after_unique,
+        num_chains=num_chains,
+        index=index,
+        block_depths=blocks.depth[order] if len(order) else np.empty(0),
+    )
+
+
+def chain_label(head: Block, seqs: SequenceSet, seq_for_chars: int = 0) -> str:
+    """Render a chain's label string: block characters joined by gap markers.
+
+    Mirrors ``blockLabel`` (nodeslinkedlists.c:128-191): gaps of length <= 7
+    render as that many ``-``; longer gaps render ``-(len)-``; negative
+    intervals move the cursor backwards.  Characters are taken from the
+    chain's occurrence in ``seq_for_chars`` (the reference mixes characters
+    from whichever sequence created each tree node; the strings are equal up
+    to IUPAC normalization).
+    """
+    text = seqs.texts[seq_for_chars]
+    n = len(text)
+    out: List[str] = []
+    cursor = 0
+
+    def put(s: str):
+        nonlocal cursor
+        for ch in s:
+            if cursor < len(out):
+                out[cursor] = ch
+            else:
+                out.extend([" "] * (cursor - len(out)))
+                out.append(ch)
+            cursor += 1
+
+    b: Optional[Block] = head
+    while b is not None:
+        p = int(b.positions[seq_for_chars])
+        chars = "".join(text[(p + j) % n] for j in range(b.depth))
+        put(chars)
+        gap = b.interval if b.nextblock is not None else 0
+        if b.nextblock is not None:
+            if gap < 0:
+                cursor += gap  # reference: labelpos += n (n negative)
+            elif gap > 7:
+                put(f"-({gap})-")
+            else:
+                put("-" * gap)
+        b = b.nextblock
+    return "".join(out[:cursor])

@@ -1,0 +1,66 @@
+"""Bit-exact rotation parity against the reference CSA outputs.
+
+The expected ``*-Rotated.fasta`` fixtures were produced by compiling and
+running the reference implementation (``CSA R <set>``) on the example sets it
+ships (Manual/Primates.txt, Manual/Mammals.txt, website/Examples.zip Set3).
+"""
+
+import io
+
+import pytest
+
+from csa_tpu.io.fasta import (
+    load_fasta,
+    discard_duplicate_rotations,
+    parse_rotated_header,
+    rotate_text,
+)
+from csa_tpu.rotation.pipeline import analyze
+
+CASCADES = {
+    # collected, after-suffix-filter, after-unique-filter, chains
+    "Primates": (3004, 2209, 58, 19),
+    "Mammals": (3136, 2412, 51, 20),
+    "Set3": (2059, 1733, 5, 2),
+}
+
+
+def _expected(fixtures_dir, name):
+    rots = {}
+    texts = {}
+    with open(fixtures_dir / f"{name}-Rotated.fasta") as f:
+        cur = None
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                nm, rot = parse_rotated_header(line[1:])
+                cur = nm.split()[0]
+                rots[cur] = rot
+                texts[cur] = ""
+            elif cur:
+                texts[cur] += line.strip()
+    return rots, texts
+
+
+@pytest.mark.parametrize("name", ["Primates", "Mammals", "Set3"])
+def test_rotation_parity(fixtures_dir, name):
+    seqs = load_fasta(fixtures_dir / f"{name}.txt", log=io.StringIO())
+    discard_duplicate_rotations(seqs, log=io.StringIO())
+    res = analyze(seqs, log=io.StringIO())
+
+    expected_rots, expected_texts = _expected(fixtures_dir, name)
+    got = {n.split()[0]: int(r) for n, r in zip(seqs.names, res.rotations)}
+    assert got == expected_rots
+
+    cascade = (
+        res.num_collected,
+        res.num_after_suffix,
+        res.num_after_unique,
+        res.num_chains,
+    )
+    assert cascade == CASCADES[name]
+
+    # rotated text round-trip matches the reference output exactly
+    for nm, text, rot in zip(seqs.names, seqs.texts, res.rotations):
+        key = nm.split()[0]
+        assert rotate_text(text, int(rot)) == expected_texts[key]
