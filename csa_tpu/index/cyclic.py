@@ -69,6 +69,10 @@ class RotationIndex:
     sa: np.ndarray
     lcp: np.ndarray
     num_seqs: int
+    # device-backend extras (set by csa_tpu.index.engine): a (levels, K*n_max)
+    # rank stack living on the accelerator plus its padded layout params.
+    device_ranks: object = None
+    device_layout: tuple = ()  # (k, n_max)
 
     def advance(self, g: np.ndarray, off) -> np.ndarray:
         """Global id of rotation ``g`` advanced ``off`` chars (cyclic)."""
@@ -94,6 +98,10 @@ class RotationIndex:
         classic two-overlapping-power-of-two-windows rank pair.
         """
         g = np.asarray(g)
+        if self.device_ranks is not None:
+            from . import engine
+
+            return engine.device_fingerprint(self, g, d)
         t = int(d).bit_length() - 1
         r1 = self.levels[t][g]
         r2 = self.levels[t][self.advance(g, d - (1 << t))]
@@ -352,24 +360,15 @@ def remove_suffix_blocks(blocks: BlockSet) -> np.ndarray:
     # group blocks by depth; for each distinct depth ds, fingerprint the
     # length-ds suffix of every strictly deeper block and match
     distinct = np.unique(depth)
-    # fingerprint of length-d prefix of rotation g: (rank_t[g], rank_t[g+d-2^t])
-    levels = blocks.index.levels
-
-    def fingerprint(g: np.ndarray, dd: int) -> np.ndarray:
-        t = int(dd).bit_length() - 1
-        r1 = levels[t][g]
-        r2 = levels[t][idx.advance(g, dd - (1 << t))]
-        return r1 * np.int64(len(idx.seq_of) + 1) + r2
-
     for ds in distinct:
         ds = int(ds)
         owners = np.nonzero(depth == ds)[0]
         deeper = np.nonzero(depth > ds)[0]
         if len(deeper) == 0:
             continue
-        own_fp = fingerprint(rep[owners], ds)
+        own_fp = idx.prefix_fingerprint(rep[owners], ds)
         suf_start = idx.advance(rep[deeper], depth[deeper] - ds)
-        suf_fp = fingerprint(suf_start, ds)
+        suf_fp = idx.prefix_fingerprint(suf_start, ds)
         is_suffix = np.isin(own_fp, suf_fp)
         keep[owners[is_suffix]] = False
     return keep

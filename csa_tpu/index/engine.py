@@ -1,0 +1,341 @@
+"""JAX/TPU backend of the cyclic suffix-array engine.
+
+Device-side replacement for :mod:`csa_tpu.index.cyclic`'s heavy stages,
+re-expressed as static-shaped XLA programs:
+
+* prefix-doubling rank sort over all rotations (jnp.argsort + gathers);
+* capped adjacent LCPs by vectorized binary descent over the rank levels;
+* PSV/NSV + canonical-representative selection via range-min/argmin sparse
+  tables (static log-depth loops);
+* per-sequence coverage tests via cumulative sums;
+* "deepest all-sequences node" selection via scatter-OR of all-seq child
+  marks into canonical interval representatives.
+
+The (tiny) collected block set is handed back to the host where the exact
+numpy filters (:func:`csa_tpu.index.cyclic.remove_suffix_blocks`,
+uniqueness, chaining) finish the pipeline.
+
+Padding layout: sequences are padded to a common ``n_max`` (bucketed to
+limit recompiles); padded rotation slots get unique sentinel ranks larger
+than any real rank, so they sort last, never tie, and never join an
+lcp-interval.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import cyclic
+
+
+def _bucket(n: int, quantum: int = 1024) -> int:
+    return ((n + quantum - 1) // quantum) * quantum
+
+
+def _num_levels(n_max: int) -> int:
+    t = 1
+    while (1 << (t - 1)) < n_max:
+        t += 1
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_max", "levels"))
+def _build_device_index(codes, lengths, *, k: int, n_max: int, levels: int):
+    """Core device program.
+
+    codes: (k, n_max) int32 (padding values arbitrary);
+    lengths: (k,) int32.
+    Returns (rank_levels (levels, N), sa (N,), lcp (N,), dup_flag ()).
+    """
+    n_total = k * n_max
+    g = jnp.arange(n_total, dtype=jnp.int32)
+    seq_of = g // n_max
+    pos_of = g % n_max
+    n_of = lengths[seq_of]
+    valid = pos_of < n_of
+    base = seq_of * n_max
+
+    def adv(gg, off):
+        s = gg // n_max
+        p = gg % n_max
+        nn = jnp.maximum(lengths[s], 1)
+        return s * n_max + (p + off) % nn
+
+    big = jnp.int32(n_total)
+    rank = jnp.where(valid, codes.reshape(-1).astype(jnp.int32), big + g)
+    rank_levels = [rank]
+    for t in range(levels - 1):
+        length = jnp.int32(1 << t)
+        rank2 = rank[adv(g, length)]
+        # stable two-pass lexsort on (rank, rank2) in pure int32 (JAX
+        # default has x64 disabled; a combined 64-bit key would truncate)
+        o2 = jnp.argsort(rank2, stable=True)
+        order = o2[jnp.argsort(rank[o2], stable=True)]
+        r1s = rank[order]
+        r2s = rank2[order]
+        newgrp = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.int32),
+                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
+            ]
+        )
+        dense = jnp.cumsum(newgrp)
+        rank = jnp.zeros(n_total, jnp.int32).at[order].set(dense.astype(jnp.int32))
+        # keep padding ranks unique and above all real ranks
+        rank = jnp.where(valid, rank, big + g)
+        rank_levels.append(rank)
+    rank_stack = jnp.stack(rank_levels)  # (levels, N)
+
+    final = rank_levels[-1]
+    sa = jnp.argsort(final).astype(jnp.int32)  # stable: ties keep (seq,pos)
+
+    # duplicate-rotation detection (same sequence, identical periodic string)
+    fr = final[sa]
+    sq = seq_of[sa]
+    vd = valid[sa]
+    dup_flag = jnp.any((fr[1:] == fr[:-1]) & (sq[1:] == sq[:-1]) & vd[1:])
+
+    # capped LCP of adjacent entries by binary descent over rank levels
+    a = sa[:-1]
+    b = sa[1:]
+    off = jnp.zeros(n_total - 1, dtype=jnp.int32)
+    for t in range(levels - 1, -1, -1):
+        ga = adv(a, off)
+        gb = adv(b, off)
+        eq = rank_stack[t][ga] == rank_stack[t][gb]
+        off = jnp.where(eq, off + jnp.int32(1 << t), off)
+    cap = jnp.minimum(n_of[a], n_of[b])
+    lcp = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.minimum(off, cap).astype(jnp.int32)]
+    )
+    return rank_stack, sa, lcp, dup_flag
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_max", "levels"))
+def _collect_device(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
+    """Enumerate collected (deepest all-seq) nodes on device.
+
+    Returns (collected mask over boundaries, start, end) arrays of length N.
+    """
+    n_total = k * n_max
+    seq_sorted = (sa // n_max).astype(jnp.int32)
+    pos_sorted = (sa % n_max).astype(jnp.int32)
+
+    # ---- sparse tables: range min value and leftmost argmin of lcp ----
+    tlevels = max(1, int(np.ceil(np.log2(max(n_total, 2)))) + 1)
+    INF = jnp.int32(np.iinfo(np.int32).max)
+    minv = [lcp]
+    mini = [jnp.arange(n_total, dtype=jnp.int32)]
+    for t in range(tlevels - 1):
+        half = 1 << t
+        prev_v, prev_i = minv[-1], mini[-1]
+        shifted_v = jnp.concatenate([prev_v[half:], jnp.full(half, INF, jnp.int32)])
+        shifted_i = jnp.concatenate(
+            [prev_i[half:], jnp.full(half, n_total, jnp.int32)]
+        )
+        take_left = prev_v <= shifted_v  # leftmost on ties
+        minv.append(jnp.where(take_left, prev_v, shifted_v))
+        mini.append(jnp.where(take_left, prev_i, shifted_i))
+    minv_st = jnp.stack(minv)
+    mini_st = jnp.stack(mini)
+
+    idx = jnp.arange(n_total, dtype=jnp.int32)
+
+    # PSV: largest j < i with lcp[j] < lcp[i]; lcp[0] = 0 is the sentinel.
+    ln = jnp.zeros(n_total, jnp.int32)
+    for t in range(tlevels - 1, -1, -1):
+        j = idx - ln - jnp.int32(1 << t)
+        ok = j >= 0
+        mv = minv_st[t][jnp.maximum(j, 0)]
+        grow = ok & (mv >= lcp)
+        ln = jnp.where(grow, ln + jnp.int32(1 << t), ln)
+    psv = idx - ln - 1  # may be -1
+
+    # NSV: smallest j > i with lcp[j] < lcp[i]
+    rn = jnp.zeros(n_total, jnp.int32)
+    for t in range(tlevels - 1, -1, -1):
+        j = idx + rn + 1
+        ok = (j + jnp.int32(1 << t) - 1) <= jnp.int32(n_total - 1)
+        mv = minv_st[t][jnp.minimum(j, n_total - 1)]
+        grow = ok & (mv >= lcp)
+        rn = jnp.where(grow, rn + jnp.int32(1 << t), rn)
+    nsv = idx + rn + 1  # may be n_total
+
+    start = jnp.maximum(psv, 0)  # interval start member
+    end = nsv - 1  # interval end member (inclusive)
+
+    def range_argmin(lo, hi):
+        """leftmost argmin of lcp over [lo, hi], elementwise; lo <= hi."""
+        span = jnp.maximum(hi - lo + 1, 1)
+        # exact floor(log2(span)) via integer comparisons; the two windows
+        # [lo, lo+2^tt) and [hi-2^tt+1, hi] cover since 2^(tt+1) > span
+        tt = jnp.zeros(span.shape, jnp.int32)
+        for t in range(1, tlevels):
+            tt = jnp.where(span >= jnp.int32(1 << t), jnp.int32(t), tt)
+        pow_tt = jnp.left_shift(jnp.int32(1), tt)
+        lv = minv_st[tt, lo]
+        li = mini_st[tt, lo]
+        rstart = hi - pow_tt + 1
+        rv = minv_st[tt, rstart]
+        ri = mini_st[tt, rstart]
+        take_left = (lv < rv) | ((lv == rv) & (li <= ri))
+        return jnp.where(take_left, li, ri)
+
+    # canonical boundary of the interval of boundary i: leftmost minimum in
+    # [start+1, end] (non-empty whenever lcp[i] >= 1: i itself is inside)
+    has_node = lcp >= 1
+    canon = jnp.where(
+        has_node, range_argmin(jnp.minimum(start + 1, n_total - 1), jnp.maximum(end, 0)), idx
+    )
+    is_canon = has_node & (canon == idx)
+
+    # ---- all-sequences coverage of each boundary's interval ----
+    allseq = jnp.ones(n_total, dtype=bool)
+    for s in range(k):
+        pref = jnp.cumsum((seq_sorted == s).astype(jnp.int32))
+        pref = jnp.concatenate([jnp.zeros(1, jnp.int32), pref])
+        cnt = pref[end + 1] - pref[start]
+        allseq = allseq & (cnt >= 1)
+    allseq = allseq & has_node
+
+    # ---- mark parents that have an all-seq child ----
+    lcp_ext = jnp.concatenate([lcp, jnp.zeros(1, jnp.int32)])
+    left_d = lcp_ext[start]
+    right_d = lcp_ext[jnp.minimum(end + 1, n_total)]
+    parent_bound = jnp.where(left_d >= right_d, start, end + 1)
+    parent_d = jnp.maximum(left_d, right_d)
+    has_parent = is_canon & allseq & (parent_d >= 1)
+    pb = jnp.where(has_parent, parent_bound, 0)
+    # canonical boundary of the parent's interval
+    p_start = jnp.maximum(psv[pb], 0)
+    p_end = nsv[pb] - 1
+    p_canon = range_argmin(
+        jnp.minimum(p_start + 1, n_total - 1), jnp.maximum(p_end, 0)
+    )
+    haschild = jnp.zeros(n_total, dtype=bool).at[
+        jnp.where(has_parent, p_canon, n_total - 1)
+    ].max(has_parent)
+    # note: scatter target n_total-1 for inactive lanes writes False (no-op)
+
+    collected = is_canon & allseq & ~haschild
+    return collected, start, end, pos_sorted, seq_sorted
+
+
+def build_index_jax(encoded: Sequence[np.ndarray]) -> cyclic.RotationIndex:
+    """Build a :class:`cyclic.RotationIndex` using the device engine.
+
+    Falls back to the numpy engine when duplicate rotations are present
+    (degenerate periodic inputs; see docs/PARITY.md).
+    """
+    k = len(encoded)
+    sizes = np.array([len(e) for e in encoded], dtype=np.int32)
+    n_max = _bucket(int(sizes.max()))
+    levels = _num_levels(n_max)
+    codes = np.zeros((k, n_max), dtype=np.int32)
+    for i, e in enumerate(encoded):
+        codes[i, : len(e)] = e
+    rank_stack, sa, lcp, dup = _build_device_index(
+        jnp.asarray(codes), jnp.asarray(sizes), k=k, n_max=n_max, levels=levels
+    )
+    if bool(dup):
+        return cyclic.build_rotation_index(encoded)
+    return _index_from_device(rank_stack, sa, lcp, sizes, k, n_max)
+
+
+def collect_blocks_jax(
+    encoded: Sequence[np.ndarray],
+) -> Tuple[cyclic.RotationIndex, cyclic.BlockSet]:
+    """Device-accelerated index build + block collection."""
+    k = len(encoded)
+    sizes = np.array([len(e) for e in encoded], dtype=np.int32)
+    n_max = _bucket(int(sizes.max()))
+    levels = _num_levels(n_max)
+    codes = np.zeros((k, n_max), dtype=np.int32)
+    for i, e in enumerate(encoded):
+        codes[i, : len(e)] = e
+    jsizes = jnp.asarray(sizes)
+    rank_stack, sa, lcp, dup = _build_device_index(
+        jnp.asarray(codes), jsizes, k=k, n_max=n_max, levels=levels
+    )
+    if bool(dup):
+        index = cyclic.build_rotation_index(encoded)
+        return index, cyclic.collect_blocks(index)
+    collected, start, end, _, _ = _collect_device(
+        sa, lcp, jsizes, k=k, n_max=n_max, levels=levels
+    )
+
+    index = _index_from_device(rank_stack, sa, lcp, sizes, k, n_max)
+    mask = np.asarray(collected)
+    cstart = np.asarray(start)[mask].astype(np.int64)
+    cend = np.asarray(end)[mask].astype(np.int64)
+    cdepth = np.asarray(lcp)[mask].astype(np.int64)
+    blocks = cyclic.BlockSet(index, cstart, cend, cdepth)
+    return index, blocks
+
+
+def _index_from_device(rank_stack, sa, lcp, sizes, k, n_max):
+    """Host RotationIndex view; the rank stack stays on the device and is
+    consulted via :func:`device_fingerprint` (tunnel transfers of the full
+    stack dominate wall time otherwise)."""
+    sa_np = np.asarray(sa)
+    lcp_np = np.asarray(lcp).astype(np.int64)
+    seq_pad = sa_np // n_max
+    pos_pad = sa_np % n_max
+    real = pos_pad < sizes[seq_pad]
+    sa_real = sa_np[real]
+    m = len(sa_real)
+    offsets = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(sizes.astype(np.int64), out=offsets[1:])
+    total = int(offsets[-1])
+    seq_of = np.repeat(np.arange(k, dtype=np.int64), sizes)
+    pos_of = np.arange(total, dtype=np.int64) - offsets[seq_of]
+    n_of = sizes.astype(np.int64)[seq_of]
+    sa_compact = offsets[sa_real // n_max] + (sa_real % n_max)
+    return cyclic.RotationIndex(
+        seq_of=seq_of,
+        pos_of=pos_of,
+        n_of=n_of,
+        offsets=offsets,
+        levels=[],
+        sa=sa_compact,
+        lcp=lcp_np[:m],
+        num_seqs=k,
+        device_ranks=rank_stack,
+        device_layout=(k, n_max),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t", "n_max"))
+def _fingerprint_device(rank_stack, lengths, g_pad, off, *, t: int, n_max: int):
+    s = g_pad // n_max
+    p = g_pad % n_max
+    nn = jnp.maximum(lengths[s], 1)
+    g2 = s * n_max + (p + off) % nn
+    return rank_stack[t][g_pad], rank_stack[t][g2]
+
+
+def device_fingerprint(index: cyclic.RotationIndex, g: np.ndarray, d: int):
+    """Fingerprint length-``d`` prefixes via on-device rank gathers."""
+    k, n_max = index.device_layout
+    g = np.asarray(g, dtype=np.int64)
+    seq = index.seq_of[g]
+    g_pad = (seq * n_max + index.pos_of[g]).astype(np.int32)
+    t = int(d).bit_length() - 1
+    lengths = index.n_of[index.offsets[:-1]].astype(np.int32)
+    r1, r2 = _fingerprint_device(
+        index.device_ranks,
+        jnp.asarray(lengths),
+        jnp.asarray(g_pad),
+        jnp.int32(d - (1 << t)),
+        t=t,
+        n_max=n_max,
+    )
+    r1 = np.asarray(r1).astype(np.int64)
+    r2 = np.asarray(r2).astype(np.int64)
+    return r1 * np.int64(k * n_max + 1) + r2
