@@ -59,6 +59,10 @@ class RotationIndex:
     lcp:
         ``lcp[i]`` = capped LCP of ``sa[i-1]`` and ``sa[i]`` (``lcp[0] = 0``),
         capped at ``min(n_of[sa[i-1]], n_of[sa[i]])``.
+    raw_lcp:
+        the same LCPs before the length cap (periodic match length); the
+        linear-suffix view of the alignment phase re-caps these at suffix
+        lengths.
     """
 
     seq_of: np.ndarray
@@ -69,6 +73,7 @@ class RotationIndex:
     sa: np.ndarray
     lcp: np.ndarray
     num_seqs: int
+    raw_lcp: np.ndarray = None
     # device-backend extras (set by csa_tpu.index.engine): a (levels, K*n_max)
     # rank stack living on the accelerator plus its padded layout params.
     device_ranks: object = None
@@ -78,8 +83,12 @@ class RotationIndex:
         """Global id of rotation ``g`` advanced ``off`` chars (cyclic)."""
         return self.offsets[self.seq_of[g]] + (self.pos_of[g] + off) % self.n_of[g]
 
-    def lcp_pairs(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        """Capped LCP of arbitrary rotation pairs (vectorized binary descent)."""
+    def lcp_pairs(self, a: np.ndarray, b: np.ndarray, raw: bool = False) -> np.ndarray:
+        """Capped LCP of arbitrary rotation pairs (vectorized binary descent).
+
+        With ``raw=True`` returns the periodic match length without the
+        sequence-length cap.
+        """
         a = np.asarray(a)
         b = np.asarray(b)
         off = np.zeros(a.shape, dtype=np.int64)
@@ -89,6 +98,8 @@ class RotationIndex:
             gb = self.advance(b, off)
             eq = self.levels[t][ga] == self.levels[t][gb]
             off = np.where(eq, off + length, off)
+        if raw:
+            return off
         cap = np.minimum(self.n_of[a], self.n_of[b])
         return np.minimum(off, cap)
 
@@ -175,9 +186,13 @@ def build_rotation_index(encoded: Sequence[np.ndarray]) -> RotationIndex:
         sa=sa,
         lcp=np.zeros(len(sa), dtype=np.int64),
         num_seqs=num_seqs,
+        raw_lcp=np.zeros(len(sa), dtype=np.int64),
     )
     if len(sa) > 1:
-        idx.lcp[1:] = idx.lcp_pairs(sa[:-1], sa[1:])
+        raw = idx.lcp_pairs(sa[:-1], sa[1:], raw=True)
+        idx.raw_lcp[1:] = raw
+        cap = np.minimum(idx.n_of[sa[:-1]], idx.n_of[sa[1:]])
+        idx.lcp[1:] = np.minimum(raw, cap)
     return idx
 
 

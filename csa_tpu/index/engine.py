@@ -45,8 +45,7 @@ def _num_levels(n_max: int) -> int:
     return t
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_max", "levels"))
-def _build_device_index(codes, lengths, *, k: int, n_max: int, levels: int):
+def device_index_program(codes, lengths, *, k: int, n_max: int, levels: int):
     """Core device program.
 
     codes: (k, n_max) int32 (padding values arbitrary);
@@ -111,14 +110,19 @@ def _build_device_index(codes, lengths, *, k: int, n_max: int, levels: int):
         eq = rank_stack[t][ga] == rank_stack[t][gb]
         off = jnp.where(eq, off + jnp.int32(1 << t), off)
     cap = jnp.minimum(n_of[a], n_of[b])
+    raw = jnp.concatenate([jnp.zeros(1, jnp.int32), off.astype(jnp.int32)])
     lcp = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.minimum(off, cap).astype(jnp.int32)]
     )
-    return rank_stack, sa, lcp, dup_flag
+    return rank_stack, sa, lcp, raw, dup_flag
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_max", "levels"))
-def _collect_device(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
+_build_device_index = functools.partial(
+    jax.jit, static_argnames=("k", "n_max", "levels")
+)(device_index_program)
+
+
+def collect_program(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
     """Enumerate collected (deepest all-seq) nodes on device.
 
     Returns (collected mask over boundaries, start, end) arrays of length N.
@@ -227,6 +231,11 @@ def _collect_device(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
     return collected, start, end, pos_sorted, seq_sorted
 
 
+_collect_device = functools.partial(
+    jax.jit, static_argnames=("k", "n_max", "levels")
+)(collect_program)
+
+
 def build_index_jax(encoded: Sequence[np.ndarray]) -> cyclic.RotationIndex:
     """Build a :class:`cyclic.RotationIndex` using the device engine.
 
@@ -240,12 +249,12 @@ def build_index_jax(encoded: Sequence[np.ndarray]) -> cyclic.RotationIndex:
     codes = np.zeros((k, n_max), dtype=np.int32)
     for i, e in enumerate(encoded):
         codes[i, : len(e)] = e
-    rank_stack, sa, lcp, dup = _build_device_index(
+    rank_stack, sa, lcp, raw, dup = _build_device_index(
         jnp.asarray(codes), jnp.asarray(sizes), k=k, n_max=n_max, levels=levels
     )
     if bool(dup):
         return cyclic.build_rotation_index(encoded)
-    return _index_from_device(rank_stack, sa, lcp, sizes, k, n_max)
+    return _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max)
 
 
 def collect_blocks_jax(
@@ -260,7 +269,7 @@ def collect_blocks_jax(
     for i, e in enumerate(encoded):
         codes[i, : len(e)] = e
     jsizes = jnp.asarray(sizes)
-    rank_stack, sa, lcp, dup = _build_device_index(
+    rank_stack, sa, lcp, raw, dup = _build_device_index(
         jnp.asarray(codes), jsizes, k=k, n_max=n_max, levels=levels
     )
     if bool(dup):
@@ -270,7 +279,7 @@ def collect_blocks_jax(
         sa, lcp, jsizes, k=k, n_max=n_max, levels=levels
     )
 
-    index = _index_from_device(rank_stack, sa, lcp, sizes, k, n_max)
+    index = _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max)
     mask = np.asarray(collected)
     cstart = np.asarray(start)[mask].astype(np.int64)
     cend = np.asarray(end)[mask].astype(np.int64)
@@ -279,12 +288,13 @@ def collect_blocks_jax(
     return index, blocks
 
 
-def _index_from_device(rank_stack, sa, lcp, sizes, k, n_max):
+def _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max):
     """Host RotationIndex view; the rank stack stays on the device and is
     consulted via :func:`device_fingerprint` (tunnel transfers of the full
     stack dominate wall time otherwise)."""
     sa_np = np.asarray(sa)
     lcp_np = np.asarray(lcp).astype(np.int64)
+    raw_np = np.asarray(raw).astype(np.int64)
     seq_pad = sa_np // n_max
     pos_pad = sa_np % n_max
     real = pos_pad < sizes[seq_pad]
@@ -306,6 +316,7 @@ def _index_from_device(rank_stack, sa, lcp, sizes, k, n_max):
         sa=sa_compact,
         lcp=lcp_np[:m],
         num_seqs=k,
+        raw_lcp=raw_np[:m],
         device_ranks=rank_stack,
         device_layout=(k, n_max),
     )

@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize registers the tunneled TPU backend at interpreter
+# start and pins the platform; jax.config wins over the env var, so force
+# CPU explicitly for the unit tests.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest
