@@ -1,0 +1,479 @@
+"""Progressive profile DP over inter-anchor gaps.
+
+Exact-semantics re-implementation of the reference's per-gap MSA engine
+(``/root/reference/source/dynamicprogramming.c``): sequences ordered
+shortest-first (``SortSequencesForDP`` :276-308, the live selection-sort
+part), each aligned by Needleman-Wunsch against the expanding column-count
+profile (recurrence :993-998 with tie-break diag >= left >= up
+:1014-1026), consensus grown during backtrack (:1032-1138), followed by
+the gap-block shift compaction pass (``DeleteGappedColumns`` :643-899).
+
+Scores: MATCH +1, DOUBLEGAP 0, MISMATCH -1, INDEL -1 (:16-19).
+
+The DP fill is vectorized over anti-diagonals (numpy backend) or executed
+on the accelerator (:mod:`csa_tpu.dp` wavefront kernel); both produce the
+identical integer score/direction matrices, so parity does not depend on
+the backend.
+
+Char codes: A=0 C=1 G=2 T=3 gap=4.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+MATCH = 1
+DOUBLEGAP = 0
+MISMATCH = -1
+INDEL = -1
+GAP = 4
+
+# direction codes
+D_DIAG = 0
+D_LEFT = 1
+D_UP = 2
+
+
+def sort_sequences_for_dp(gaplens: np.ndarray):
+    """Selection sort, shortest gap first (dynamicprogramming.c:276-308).
+
+    Returns (orderedseqs, seqlengths) exactly as the reference computes
+    them (first minimum wins; swap placement).
+    """
+    k = len(gaplens)
+    ordered = list(range(k))
+    lens = [int(x) for x in gaplens]
+    for i in range(k - 1):
+        minv = lens[i]
+        minpos = i
+        for j in range(i + 1, k):
+            if lens[j] < minv:
+                minv = lens[j]
+                minpos = j
+        if minpos != i:
+            ordered[i], ordered[minpos] = ordered[minpos], ordered[i]
+            lens[i], lens[minpos] = lens[minpos], lens[i]
+    return ordered, lens
+
+
+def dp_fill(row_codes: np.ndarray, scorevector: np.ndarray, i: int):
+    """Fill the DP matrix for one sequence against the current profile.
+
+    row_codes: (nrows,) char codes of the sequence's gap substring.
+    scorevector: (ncols, 5) counts of each char code per profile column
+    (0-indexed here; the reference's column c is scorevector[c-1]).
+    i: number of previously aligned sequences.
+
+    Returns (score, dirs) where dirs is (nrows+1, ncols+1) int8.
+    Vectorized over anti-diagonals.
+    """
+    nrows = len(row_codes)
+    ncols = len(scorevector)
+    sv_gap = scorevector[:, GAP]  # (ncols,)
+
+    # per-(row j, col c) substitution score and move costs
+    # score(j,c) = MATCH*cnt[char_j] + INDEL*cnt[gap] + MISMATCH*(i - cnt[char_j] - cnt[gap])
+    cnt_char = scorevector[:, :4].take(row_codes, axis=1).T  # (nrows, ncols)
+    sub = (
+        MATCH * cnt_char
+        + INDEL * sv_gap[None, :]
+        + MISMATCH * (i - cnt_char - sv_gap[None, :])
+    )
+    rowgap = INDEL * i  # scalar, vertical move
+    colgap = DOUBLEGAP * sv_gap + INDEL * (i - sv_gap)  # (ncols,), horizontal
+
+    dp = np.zeros((nrows + 1, ncols + 1), dtype=np.int64)
+    dirs = np.zeros((nrows + 1, ncols + 1), dtype=np.int8)
+    dp[:, 0] = np.arange(nrows + 1) * rowgap
+    dp[0, 1:] = np.cumsum(colgap)
+    dirs[:, 0] = D_UP
+    dirs[0, 1:] = D_LEFT
+    dirs[0, 0] = D_DIAG
+
+    # anti-diagonal sweep: cells (j, c) with j + c = d
+    for d in range(2, nrows + ncols + 1):
+        j_lo = max(1, d - ncols)
+        j_hi = min(nrows, d - 1)
+        if j_lo > j_hi:
+            continue
+        j = np.arange(j_lo, j_hi + 1)
+        c = d - j
+        diag = dp[j - 1, c - 1] + sub[j - 1, c - 1]
+        up = dp[j - 1, c] + rowgap
+        left = dp[j, c - 1] + colgap[c - 1]
+        take_diag = (diag >= up) & (diag >= left)
+        take_left = ~take_diag & (left >= up)
+        val = np.where(take_diag, diag, np.where(take_left, left, up))
+        dp[j, c] = val
+        dirs[j, c] = np.where(
+            take_diag, D_DIAG, np.where(take_left, D_LEFT, D_UP)
+        ).astype(np.int8)
+    return int(dp[nrows, ncols]), dirs
+
+
+def backtrack_merge(
+    dirs: np.ndarray,
+    row_codes: np.ndarray,
+    strings: List[Optional[np.ndarray]],
+    scorevector: np.ndarray,
+    ordered: List[int],
+    i: int,
+    n: int,
+):
+    """Backtrack, producing the merged strings + scorevector.
+
+    strings: per-sequence code arrays (gap = 4) of the current consensus
+    (length ncols) for the first i ordered sequences; returns
+    (new_strings, new_scorevector, consensussize).
+    """
+    nrows = len(row_codes)
+    ncols = len(scorevector)
+    # walk the path once, recording per new column the source old column
+    # (-1 for a fresh all-gap column) and the current-sequence row (-1 for
+    # a gap in the current sequence); order is right-to-left like the
+    # reference backtrack
+    j, c = nrows, ncols
+    old_cols_r: List[int] = []
+    row_r: List[int] = []
+    while j > 0 and c > 0:
+        dcode = dirs[j, c]
+        if dcode == D_DIAG:
+            old_cols_r.append(c - 1)
+            row_r.append(j - 1)
+            j -= 1
+            c -= 1
+        elif dcode == D_LEFT:
+            old_cols_r.append(c - 1)
+            row_r.append(-1)
+            c -= 1
+        else:  # D_UP
+            old_cols_r.append(-1)
+            row_r.append(j - 1)
+            j -= 1
+    while j > 0:
+        old_cols_r.append(-1)
+        row_r.append(j - 1)
+        j -= 1
+    while c > 0:
+        old_cols_r.append(c - 1)
+        row_r.append(-1)
+        c -= 1
+    old_cols = np.asarray(old_cols_r[::-1], dtype=np.int64)
+    rows = np.asarray(row_r[::-1], dtype=np.int64)
+    consensussize = len(old_cols)
+
+    has_old = old_cols >= 0
+    has_row = rows >= 0
+    old_idx = old_cols[has_old]
+
+    new_sv = np.zeros((consensussize, 5), dtype=np.int64)
+    new_sv[has_old] = scorevector[old_idx]
+    new_sv[~has_old, GAP] = i
+    cur = np.full(consensussize, GAP, dtype=np.int8)
+    cur[has_row] = row_codes[rows[has_row]].astype(np.int8)
+    np.add.at(new_sv, (np.arange(consensussize), cur.astype(np.int64)), 1)
+
+    new_strings: List[Optional[np.ndarray]] = [None] * len(strings)
+    for t in range(i):
+        p = ordered[t]
+        ns = np.full(consensussize, GAP, dtype=np.int8)
+        ns[has_old] = strings[p][old_idx]
+        new_strings[p] = ns
+    new_strings[n] = cur
+    return new_strings, new_sv, consensussize
+
+
+def delete_gapped_columns(
+    usableseqs: List[int],
+    strings: List[Optional[np.ndarray]],
+    numseqs: int,
+    scorevector: np.ndarray,
+    consize: int,
+    maxnongaps: int,
+):
+    """Gap-block shift compaction (dynamicprogramming.c:643-899), exact.
+
+    strings are code arrays of logical length >= consize (codes 0-4);
+    scorevector is (cap, 5) with logical length consize.  Returns the new
+    consize; strings and scorevector are modified in place.
+    """
+    mingaps = numseqs - maxnongaps
+    col = 1
+    while col <= consize:
+        if scorevector[col - 1, GAP] < mingaps:
+            col += 1
+            continue
+        seqstoshift = [
+            ii for ii in usableseqs[:numseqs] if strings[ii][col - 1] != GAP
+        ]
+        ntoshift = len(seqstoshift)
+        if ntoshift == 0:
+            col += 1
+            continue
+        bestscore = 0
+        bestshift = 0
+        bestdir = 0
+        best_nposaffected = None
+        best_maxposaffected = 0
+        best_workingsv = None
+        looplimit = consize + 1
+        dirsignal = 1
+        while True:
+            # find, per shifting sequence, the non-gap run from col and the
+            # gap run after it, in direction dirsignal
+            postonextgap = []
+            nnextgaps = []
+            hit_end = False
+            postofarthestgap = 0
+            minnextgaps = consize
+            for ii in seqstoshift:
+                s = strings[ii]
+                j = col
+                cnt = 0
+                while j != looplimit and s[j - 1] != GAP:
+                    cnt += 1
+                    j += dirsignal
+                if j == looplimit:
+                    hit_end = True
+                    break
+                postonextgap.append(cnt)
+                if cnt > postofarthestgap:
+                    postofarthestgap = cnt
+                g = 0
+                while j != looplimit and s[j - 1] == GAP:
+                    g += 1
+                    j += dirsignal
+                nnextgaps.append(g)
+                if g < minnextgaps:
+                    minnextgaps = g
+            if hit_end:
+                if dirsignal == -1:
+                    break
+                looplimit = 0
+                dirsignal = -1
+                continue
+            nposaffected = [p + minnextgaps for p in postonextgap]
+            maxposaffected = postofarthestgap + minnextgaps
+
+            # static / moving count vectors over the affected window
+            cols_idx = col + dirsignal * np.arange(maxposaffected) - 1
+            staticsv = scorevector[cols_idx].copy()  # (maxpos, 5)
+            movingsv = np.zeros((maxposaffected, 5), dtype=np.int64)
+            window_codes = np.stack(
+                [strings[ii][cols_idx] for ii in seqstoshift]
+            ).astype(np.int64)  # (ntoshift, maxpos)
+            inblock = (
+                np.arange(maxposaffected)[None, :]
+                < np.asarray(nposaffected)[:, None]
+            )
+            for kk in range(ntoshift):
+                idxs = np.nonzero(inblock[kk])[0]
+                np.add.at(movingsv, (idxs, window_codes[kk][idxs]), 1)
+            staticsv = staticsv - movingsv
+
+            # current (unshifted) score of the moving chars
+            sv_win = scorevector[cols_idx]
+            mc = movingsv[:, :4]
+            sc = sv_win[:, :4]
+            colscore = np.where(
+                mc != 0,
+                mc
+                * (
+                    MATCH * (sc - 1)
+                    + MISMATCH
+                    * (numseqs - (sc + sv_win[:, GAP][:, None]))
+                    + INDEL * sv_win[:, GAP][:, None]
+                ),
+                0,
+            ).sum()
+            mg = movingsv[:, GAP]
+            colscore += np.where(
+                mg != 0,
+                mg
+                * (
+                    DOUBLEGAP * (sv_win[:, GAP] - 1)
+                    + INDEL * (numseqs - sv_win[:, GAP])
+                ),
+                0,
+            ).sum()
+            currentscore = int(colscore)
+
+            # simulate shifts 1..minnextgaps; the reference peels one
+            # trailing gap off each moving block per iteration
+            moving_i = movingsv.copy()
+            nposaff_i = list(nposaffected)
+            found_dir_best = False
+            for sh in range(1, minnextgaps + 1):
+                for kk in range(ntoshift):
+                    nposaff_i[kk] -= 1
+                    moving_i[nposaff_i[kk], GAP] -= 1
+                working = np.empty_like(staticsv)
+                jarr = np.arange(maxposaffected)
+                lead = jarr < sh
+                working[lead] = 0
+                working[lead, GAP] = staticsv[lead, GAP] + ntoshift
+                src = np.clip(jarr - sh, 0, maxposaffected - 1)
+                working[~lead] = staticsv[~lead] + moving_i[src[~lead]]
+                full_gap = working[:, GAP] == numseqs
+                wsc = working[:, :4]
+                wg = working[:, GAP]
+                sc_lead = np.where(
+                    lead & ~full_gap,
+                    ntoshift
+                    * (DOUBLEGAP * (wg - 1) + INDEL * (numseqs - wg)),
+                    0,
+                )
+                msrc = moving_i[src]
+                sc_body_c = np.where(
+                    (~lead & ~full_gap)[:, None] & (msrc[:, :4] != 0),
+                    msrc[:, :4]
+                    * (
+                        MATCH * (wsc - 1)
+                        + MISMATCH * (numseqs - (wsc + wg[:, None]))
+                        + INDEL * wg[:, None]
+                    ),
+                    0,
+                ).sum(axis=1)
+                sc_body_g = np.where(
+                    (~lead & ~full_gap) & (msrc[:, GAP] != 0),
+                    msrc[:, GAP]
+                    * (DOUBLEGAP * (wg - 1) + INDEL * (numseqs - wg)),
+                    0,
+                )
+                shifted = int(
+                    sc_lead.sum() + sc_body_c.sum() + sc_body_g.sum()
+                ) - currentscore
+                if shifted >= bestscore:
+                    bestshift = dirsignal * sh
+                    bestscore = shifted
+                    found_dir_best = True
+            if bestshift != 0 and bestshift * dirsignal > 0:
+                best_maxposaffected = maxposaffected
+                sh = bestshift * dirsignal
+                nrem = minnextgaps - sh
+                # moving_i has all minnextgaps trailing gaps peeled; the
+                # reference re-adds the nrem still-remaining ones (:800-807)
+                moving_best = moving_i.copy()
+                for kk in range(ntoshift):
+                    mpos = postonextgap[kk]
+                    for t in range(nrem):
+                        moving_best[mpos + t, GAP] += 1
+                best_nposaffected = [postonextgap[kk] + sh for kk in range(ntoshift)]
+                jarr = np.arange(maxposaffected)
+                lead = jarr < sh
+                bw = np.empty_like(staticsv)
+                bw[lead] = staticsv[lead]
+                bw[lead, GAP] += ntoshift
+                src = np.clip(jarr - sh, 0, maxposaffected - 1)
+                bw[~lead] = staticsv[~lead] + moving_best[src[~lead]]
+                best_workingsv = bw
+                bestdir = dirsignal
+            if dirsignal == -1:
+                break
+            looplimit = 0
+            dirsignal = -1
+        if bestshift == 0:
+            col += 1
+            continue
+        dirsignal = 1
+        if bestshift < 0:
+            dirsignal = -1
+            bestshift = -bestshift
+        # apply: counts
+        cols_idx = col + dirsignal * np.arange(best_maxposaffected) - 1
+        scorevector[cols_idx] = best_workingsv
+        # apply: shift string chars
+        for kk, ii in enumerate(seqstoshift):
+            s = strings[ii]
+            mshift = dirsignal * bestshift
+            for j in range(best_nposaffected[kk] - 1, -1, -1):
+                ncol = col + dirsignal * j
+                if j < bestshift:
+                    s[ncol - 1] = GAP
+                else:
+                    s[ncol - 1] = s[ncol - mshift - 1]
+        # remove all-gap columns around col
+        n_ = consize
+        mrun = 0
+        j = col
+        while j <= n_ and scorevector[j - 1, GAP] == numseqs:
+            mrun += 1
+            j += 1
+        krun = 0
+        j = col - 1
+        while j >= 1 and scorevector[j - 1, GAP] == numseqs:
+            krun += 1
+            j -= 1
+        mtot = mrun + krun
+        start = col - krun  # leftmost empty column (1-based)
+        if mtot > 0:
+            # shift left by mtot from start..n-mtot
+            src_lo = start + mtot - 1  # 0-based source start
+            dst_lo = start - 1
+            length = n_ - mtot - start + 1
+            if length > 0:
+                scorevector[dst_lo : dst_lo + length] = scorevector[
+                    src_lo : src_lo + length
+                ]
+                for ii in usableseqs[:numseqs]:
+                    strings[ii][dst_lo : dst_lo + length] = strings[ii][
+                        src_lo : src_lo + length
+                    ]
+            scorevector[n_ - mtot : n_] = 0
+            consize = consize - mtot
+        col = col - (krun + 1)
+        col += 1  # reference: for-loop increment after `col=(col-(k+1))`
+    return consize
+
+
+def progressive_dp(
+    gap_codes: List[np.ndarray],
+) -> List[np.ndarray]:
+    """Align the per-sequence gap substrings; returns code strings.
+
+    gap_codes[i] = char codes (0-3) of sequence i's gap substring.
+    Mirrors ProgressiveDP (dynamicprogramming.c:906-1171): shortest-first
+    ordering, NW vs profile, backtrack merge, DeleteGappedColumns after
+    each merge from the 3rd sequence on.
+    """
+    k = len(gap_codes)
+    gaplens = np.array([len(g) for g in gap_codes], dtype=np.int64)
+    ordered, lens = sort_sequences_for_dp(gaplens)
+
+    strings: List[Optional[np.ndarray]] = [None] * k
+    consensussize = lens[0]
+    n0 = ordered[0]
+    scorevector = np.zeros((consensussize, 5), dtype=np.int64)
+    cur = np.asarray(gap_codes[n0], dtype=np.int8)
+    strings[n0] = cur.copy()
+    if consensussize:
+        np.add.at(scorevector, (np.arange(consensussize), cur.astype(np.int64)), 1)
+
+    # physical capacity management: keep arrays exactly logical-size; numpy
+    # reallocation is cheap at these scales
+    for i in range(1, k):
+        ncols = consensussize
+        n = ordered[i]
+        if lens[i] == 0:
+            strings[n] = np.full(ncols, GAP, dtype=np.int8)
+            continue
+        row_codes = np.asarray(gap_codes[n], dtype=np.int64)
+        _, dirs = dp_fill(row_codes, scorevector[:ncols], i)
+        strings_l = [
+            None if s is None else s[:ncols] for s in strings
+        ]
+        new_strings, new_sv, consensussize = backtrack_merge(
+            dirs, row_codes, strings_l, scorevector[:ncols], ordered, i, n
+        )
+        strings = new_strings
+        scorevector = new_sv
+        if i > 1:
+            consensussize = delete_gapped_columns(
+                ordered, strings, i + 1, scorevector, consensussize, (i + 1) // 2
+            )
+    return [
+        (s[:consensussize] if s is not None else np.full(consensussize, GAP, dtype=np.int8))
+        for s in strings
+    ]

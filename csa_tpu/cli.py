@@ -100,11 +100,11 @@ def run_alignment(args, seqs: fio.SequenceSet, rotations) -> str:
     print("> Running multiple sequence alignment...")
     result = msa.align(seqs, rotations, backend=args.backend)
     msa.save_alignment(seqs, rotations, result, alignfile)
-    from .tools import check
+    from .tools import files as tools_files
 
     rotfile = output_filename(args.input, ROTATIONS_SUFFIX)
     source = rotfile if os.path.exists(rotfile) else args.input
-    check.test_alignment_output(source, alignfile)
+    tools_files.test_alignment_output(source, alignfile)
     return alignfile
 
 
@@ -166,19 +166,19 @@ def main(argv=None) -> int:
         circular_plot.draw_circular_alignment_plot(source, out)
 
     if mode == "C":
-        from .tools import clean
+        from .tools import files as tools_files
 
-        clean.clean_dna_fasta_file(args.input)
+        tools_files.clean_fasta(args.input)
 
     if mode == "S":
-        from .tools import score
+        from .tools import files as tools_files
 
-        score.calculate_sum_of_pairs_score(args.input)
+        tools_files.sum_of_pairs_score(args.input)
 
     if mode == "M":
-        from .tools import msf
+        from .tools import files as tools_files
 
-        msf.convert_fasta_to_msf(args.input)
+        tools_files.fasta_to_msf(args.input)
 
     print("> Done!")
     return 0

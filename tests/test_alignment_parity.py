@@ -1,0 +1,91 @@
+"""Alignment-phase parity against captured reference outputs.
+
+The tiny fixtures (tests/fixtures/tiny/t*.txt) are 4x150bp circular sets
+whose full-pipeline outputs were captured from the compiled reference
+(/root/reference/source built with gcc -fcommon; DEBUG traces were used
+to verify border nodes, chains, and segments during development).
+"""
+
+import io
+import pathlib
+
+import numpy as np
+import pytest
+
+from csa_tpu.align import anchors, runner
+from csa_tpu.io import fasta as fio
+from csa_tpu.rotation import pipeline as rot
+
+TINY = pathlib.Path(__file__).parent / "fixtures" / "tiny"
+SEEDS = [1, 3, 4, 6, 8]
+
+
+def _rotated_codes(seqs, rotations):
+    return [
+        np.roll(e, -int(r)) for e, r in zip(seqs.encoded_all(), rotations)
+    ]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_tiny_full_pipeline_alignment_byte_identical(seed, tmp_path):
+    base = TINY / f"t{seed}"
+    seqs = fio.load_fasta(str(base) + ".txt", log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO())
+
+    # rotation parity first (headers of the captured -Rotated.fasta)
+    expected_rot = {}
+    for line in open(str(base) + "-Rotated.fasta"):
+        if line.startswith(">"):
+            name, _, r = line[1:].strip().rpartition(" @ ")
+            expected_rot[name] = int(r)
+    got = {n: int(r) for n, r in zip(seqs.names, res.rotations)}
+    assert got == expected_rot
+
+    rot_codes = _rotated_codes(seqs, res.rotations)
+    log = io.StringIO()
+    result = runner.run_alignment(rot_codes, log=log)
+    out = tmp_path / "aligned.fasta"
+    runner.save_alignment(
+        str(out), result, rot_codes, seqs.names, res.rotations, log=log
+    )
+    assert out.read_text() == open(str(base) + "-Aligned.fasta").read()
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_border_nodes_have_all_sequences(seed):
+    base = TINY / f"t{seed}"
+    seqs = fio.load_fasta(str(base) + ".txt", log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO())
+    nodes = anchors.compute_border_nodes(_rotated_codes(seqs, res.rotations))
+    assert nodes
+    k = len(seqs)
+    all_pos = [set() for _ in range(k)]
+    for node in nodes:
+        assert node.size >= 1
+        assert len(node.positions) == k
+        for i, p in enumerate(node.positions):
+            assert len(p) > 0
+            assert np.all(np.diff(p) > 0)
+            # attachment is unique: a suffix belongs to exactly one node
+            assert not (all_pos[i] & set(p.tolist()))
+            all_pos[i].update(p.tolist())
+
+
+def test_alignment_integrity_roundtrip(tmp_path):
+    """The aligned strings minus gaps must equal the rotated inputs."""
+    from csa_tpu.tools import files
+
+    base = TINY / "t1"
+    seqs = fio.load_fasta(str(base) + ".txt", log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO())
+    rot_codes = _rotated_codes(seqs, res.rotations)
+    result = runner.run_alignment(rot_codes, log=io.StringIO())
+    out = tmp_path / "aligned.fasta"
+    runner.save_alignment(
+        str(out), result, rot_codes, seqs.names, res.rotations,
+        log=io.StringIO(),
+    )
+    ok = files.test_alignment_output(
+        str(base) + "-Rotated.fasta", str(out), log=io.StringIO()
+    )
+    assert ok
