@@ -35,6 +35,10 @@ D_DIAG = 0
 D_LEFT = 1
 D_UP = 2
 
+# optional debug hook: when set to a list, every applied gap-block shift
+# appends (col, dirsignal, bestshift, bestscore, ntoshift, maxposaffected)
+SHIFT_TRACE = None
+
 
 def sort_sequences_for_dp(gaplens: np.ndarray):
     """Selection sort, shortest gap first (dynamicprogramming.c:276-308).
@@ -58,17 +62,48 @@ def sort_sequences_for_dp(gaplens: np.ndarray):
     return ordered, lens
 
 
-def dp_fill(row_codes: np.ndarray, scorevector: np.ndarray, i: int):
+def default_top_row(scorevector: np.ndarray, i: int) -> np.ndarray:
+    """Fresh dp[0][*] boundary: cumulative horizontal gap costs
+    (dynamicprogramming.c:969-973)."""
+    sv_gap = scorevector[:, GAP]
+    colgap = DOUBLEGAP * sv_gap + INDEL * (i - sv_gap)
+    return np.concatenate([[np.int64(0)], np.cumsum(colgap)])
+
+
+def dp_fill(
+    row_codes: np.ndarray,
+    scorevector: np.ndarray,
+    i: int,
+    top_row: Optional[np.ndarray] = None,
+    edge_rowgap: Optional[int] = None,
+):
     """Fill the DP matrix for one sequence against the current profile.
 
     row_codes: (nrows,) char codes of the sequence's gap substring.
     scorevector: (ncols, 5) counts of each char code per profile column
     (0-indexed here; the reference's column c is scorevector[c-1]).
     i: number of previously aligned sequences.
+    top_row / edge_rowgap: dp boundary values (dp[0][*] and the per-row
+    scale of dp[j][0]).  The reference re-initializes these only when it
+    reallocates its DP matrix (dynamicprogramming.c:957-987), so between
+    same-shape merges they are STALE values from the allocating merge;
+    progressive_dp threads the emulated allocation state through here.
+    Defaults reproduce a fresh allocation.
 
     Returns (score, dirs) where dirs is (nrows+1, ncols+1) int8.
-    Vectorized over anti-diagonals.
+    Dispatches to the native host kernel when built (bit-identical);
+    falls back to the anti-diagonal numpy sweep.
     """
+    if top_row is None:
+        top_row = default_top_row(scorevector, i)
+    if edge_rowgap is None:
+        edge_rowgap = INDEL * i
+    if len(row_codes) and len(scorevector):
+        from .. import native
+
+        res = native.dp_fill_dirs(row_codes, scorevector, i, top_row, edge_rowgap)
+        if res is not None:
+            return res
     nrows = len(row_codes)
     ncols = len(scorevector)
     sv_gap = scorevector[:, GAP]  # (ncols,)
@@ -86,8 +121,8 @@ def dp_fill(row_codes: np.ndarray, scorevector: np.ndarray, i: int):
 
     dp = np.zeros((nrows + 1, ncols + 1), dtype=np.int64)
     dirs = np.zeros((nrows + 1, ncols + 1), dtype=np.int8)
-    dp[:, 0] = np.arange(nrows + 1) * rowgap
-    dp[0, 1:] = np.cumsum(colgap)
+    dp[:, 0] = np.arange(nrows + 1) * edge_rowgap
+    dp[0, :] = top_row[: ncols + 1]
     dirs[:, 0] = D_UP
     dirs[0, 1:] = D_LEFT
     dirs[0, 0] = D_DIAG
@@ -381,6 +416,12 @@ def delete_gapped_columns(
         if bestshift < 0:
             dirsignal = -1
             bestshift = -bestshift
+        if SHIFT_TRACE is not None:
+            SHIFT_TRACE.append(
+                (col, dirsignal, bestshift, bestscore, ntoshift,
+                 best_maxposaffected,
+                 tuple(usableseqs[:numseqs]), tuple(seqstoshift))
+            )
         # apply: counts
         cols_idx = col + dirsignal * np.arange(best_maxposaffected) - 1
         scorevector[cols_idx] = best_workingsv
@@ -451,16 +492,32 @@ def progressive_dp(
     if consensussize:
         np.add.at(scorevector, (np.arange(consensussize), cur.astype(np.int64)), 1)
 
-    # physical capacity management: keep arrays exactly logical-size; numpy
-    # reallocation is cheap at these scales
+    # emulated DP-matrix allocation state: the reference reallocates (and
+    # re-initializes the dp boundaries) only when the column count changed
+    # or the row count grew (dynamicprogramming.c:957-987); otherwise the
+    # boundary row/column keep the allocating merge's values
+    prev_consensussize = 0
+    prev_nrows = 0
+    alloc_top: Optional[np.ndarray] = None
+    alloc_rowgap = 0
+
     for i in range(1, k):
         ncols = consensussize
         n = ordered[i]
         if lens[i] == 0:
             strings[n] = np.full(ncols, GAP, dtype=np.int8)
             continue
+        nrows = lens[i]
+        if ncols != prev_consensussize or nrows > prev_nrows:
+            alloc_rowgap = INDEL * i
+            alloc_top = default_top_row(scorevector[:ncols], i)
+            prev_nrows = nrows
         row_codes = np.asarray(gap_codes[n], dtype=np.int64)
-        _, dirs = dp_fill(row_codes, scorevector[:ncols], i)
+        _, dirs = dp_fill(
+            row_codes, scorevector[:ncols], i,
+            top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
+        )
+        prev_consensussize = ncols
         strings_l = [
             None if s is None else s[:ncols] for s in strings
         ]

@@ -199,15 +199,12 @@ def render_alignment(
             alignlength += len(segment.alignedstrings[0])
             for i in range(k):
                 out[i].append(np.asarray(segment.alignedstrings[i], dtype=np.int8))
-        else:
-            # raw gap characters (no DP ran for this gap)
-            added = 0
-            for i in range(k):
-                s = int(segment.positions[i]) + segment.size
-                e = int(segment.next.positions[i])
-                out[i].append(np.asarray(rotated_codes[i][s:e], dtype=np.int8))
-                added = e - s
-            alignlength += added
+        # When no DP ran for this gap (mingapsize 0 with maxgapsize > 0,
+        # skipped by RunAlignment), the reference emits NOTHING for it:
+        # SaveAlignment's per-gap output is gated on alignedstrings being
+        # non-NULL (alignment.c:135), silently dropping the gap characters
+        # of the longer sequences.  Its own integrity check then reports a
+        # mismatch.  Reproduced for byte parity; see docs/PARITY.md.
         segment = segment.next
         segmentcount += 1
     result.alignment_size = alignlength

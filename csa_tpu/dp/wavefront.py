@@ -1,0 +1,110 @@
+"""Device wavefront for the progressive profile NW fill.
+
+The reference's DP inner loop (``dynamicprogramming.c:990-1029``) is a
+row-major O(rows x cols) scan.  Here the matrix is skewed so cells on an
+anti-diagonal form a vector lane dimension, and ``lax.scan`` walks the
+2R+C-ish diagonals: cell ``(j, c)`` lives at ``(d=j+c, lane=j)``.  The
+substitution matrix is produced by an MXU-friendly one-hot matmul before
+the scan; integer arithmetic matches the host engine bit for bit, so the
+alignment output is backend-independent.
+
+Returns the full direction matrix (int8, codes as in
+:mod:`csa_tpu.align.progressive`) for host backtracking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..align.progressive import D_DIAG, D_LEFT, D_UP, DOUBLEGAP, GAP, INDEL, MATCH, MISMATCH
+
+NEG = jnp.int32(-(2**30))
+
+
+@functools.partial(jax.jit, static_argnames=("R", "C"))
+def _wavefront_program(codes, sv, i, *, R: int, C: int):
+    """codes: (R,) int32; sv: (C, 5) int32; i: () int32.
+
+    Returns dirs (R+1, C+1) int8 and dp final row value.
+    """
+    onehot = jax.nn.one_hot(codes, 4, dtype=jnp.int32)  # (R, 4)
+    cnt = jnp.dot(onehot, sv[:, :4].T, preferred_element_type=jnp.int32)  # (R, C)
+    svg = sv[:, GAP]  # (C,)
+    sub = MATCH * cnt + INDEL * svg[None, :] + MISMATCH * (i - cnt - svg[None, :])
+    rowgap = INDEL * i
+    colgap = DOUBLEGAP * svg + INDEL * (i - svg)  # (C,)
+    top_row = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(colgap)])
+
+    # skew sub and colgap: skew[d, j] = sub[j-1, (d - j) - 1] for the cell
+    # (j, c=d-j); lanes j = 0..R (lane 0 is the dp top row)
+    lanes = jnp.arange(R + 1)
+
+    def scan_body(carry, d):
+        dp1, dp2 = carry  # dp at d-1 and d-2, width R+1
+        c = d - lanes  # column per lane
+        in_range = (lanes >= 1) & (c >= 1) & (c <= C) & (lanes <= R)
+        cj = jnp.clip(c - 1, 0, C - 1)
+        lj = jnp.clip(lanes - 1, 0, R - 1)
+        sub_d = sub[lj, cj]
+        colgap_d = colgap[cj]
+        dp1_up = jnp.concatenate([jnp.full(1, NEG), dp1[:-1]])
+        dp2_diag = jnp.concatenate([jnp.full(1, NEG), dp2[:-1]])
+        diag = dp2_diag + sub_d
+        up = dp1_up + rowgap
+        left = dp1 + colgap_d
+        take_diag = (diag >= up) & (diag >= left)
+        take_left = (~take_diag) & (left >= up)
+        val = jnp.where(take_diag, diag, jnp.where(take_left, left, up))
+        dirs_d = jnp.where(
+            take_diag, jnp.int8(D_DIAG),
+            jnp.where(take_left, jnp.int8(D_LEFT), jnp.int8(D_UP)),
+        )
+        # boundaries: lane 0 = top row dp[0, d]; lane j at c==0 = j*rowgap
+        val = jnp.where(lanes == 0, top_row[jnp.clip(d, 0, C)], val)
+        val = jnp.where((c == 0) & (lanes > 0), lanes * rowgap, val)
+        val = jnp.where(in_range | (lanes == 0) | (c == 0), val, NEG)
+        dirs_d = jnp.where(in_range, dirs_d, jnp.int8(D_DIAG))
+        return (val, dp1), dirs_d
+
+    dp0 = jnp.where(lanes == 0, top_row[0], lanes * rowgap).astype(jnp.int32)
+    dp0 = jnp.where(lanes <= R, dp0, NEG)
+    dpm1 = jnp.full(R + 1, NEG)
+    (_, _), dirs_sk = jax.lax.scan(
+        scan_body, (dp0, dpm1), jnp.arange(1, R + C + 1)
+    )
+    # dirs_sk: (R+C, R+1) at diagonals 1..R+C; unskew to (R+1, C+1)
+    return dirs_sk
+
+
+def dp_fill_device(row_codes: np.ndarray, scorevector: np.ndarray, i: int):
+    """Drop-in device replacement for progressive.dp_fill (dirs only).
+
+    Pads R, C to multiples of 64 to bound recompiles.
+    """
+    R = len(row_codes)
+    C = len(scorevector)
+    Rp = max(64, -(-R // 64) * 64)
+    Cp = max(64, -(-C // 64) * 64)
+    codes = np.zeros(Rp, dtype=np.int32)
+    codes[:R] = row_codes
+    sv = np.zeros((Cp, 5), dtype=np.int32)
+    sv[:C] = scorevector
+    dirs_sk = np.asarray(
+        _wavefront_program(
+            jnp.asarray(codes), jnp.asarray(sv), jnp.int32(i), R=Rp, C=Cp
+        )
+    )
+    # unskew: dirs[j, c] = dirs_sk[j + c - 1, j]
+    dirs = np.zeros((R + 1, C + 1), dtype=np.int8)
+    jj = np.arange(1, R + 1)
+    for c in range(1, C + 1):
+        dirs[1:, c] = dirs_sk[jj + c - 1, jj]
+    dirs[:, 0] = D_UP
+    dirs[0, 1:] = D_LEFT
+    dirs[0, 0] = D_DIAG
+    return dirs

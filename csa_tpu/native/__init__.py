@@ -1,0 +1,96 @@
+"""ctypes loader for the native host kernels (libcsa_host.so).
+
+Builds lazily with ``make`` on first import if the shared library is
+missing and a toolchain is available; every caller has a pure-numpy
+fallback, so the package works without it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "libcsa_host.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", _HERE],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.csa_dp_fill.restype = ctypes.c_int32
+    lib.csa_dp_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.csa_pairwise_nw.restype = ctypes.c_int32
+    lib.csa_pairwise_nw.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def dp_fill_dirs(
+    row_codes: np.ndarray,
+    scorevector: np.ndarray,
+    i: int,
+    top_row: np.ndarray,
+    edge_rowgap: int,
+):
+    """Native profile NW fill; returns (score, dirs) or None if no lib.
+
+    top_row / edge_rowgap carry the (possibly stale) DP boundary values;
+    see csa_host.cpp.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    R = len(row_codes)
+    C = len(scorevector)
+    codes = np.ascontiguousarray(row_codes, dtype=np.int8)
+    sv = np.ascontiguousarray(scorevector, dtype=np.int32)
+    top = np.ascontiguousarray(top_row, dtype=np.int32)
+    dirs = np.empty((R + 1, C + 1), dtype=np.int8)
+    score = lib.csa_dp_fill(
+        codes.ctypes.data, R, sv.ctypes.data, C, int(i),
+        top.ctypes.data, int(edge_rowgap), dirs.ctypes.data
+    )
+    return int(score), dirs
+
+
+def pairwise_nw(a: np.ndarray, b: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    aa = np.ascontiguousarray(a, dtype=np.int8)
+    bb = np.ascontiguousarray(b, dtype=np.int8)
+    return int(lib.csa_pairwise_nw(aa.ctypes.data, len(aa), bb.ctypes.data, len(bb)))

@@ -89,3 +89,28 @@ def test_alignment_integrity_roundtrip(tmp_path):
         str(base) + "-Rotated.fasta", str(out), log=io.StringIO()
     )
     assert ok
+
+
+def test_primates_full_alignment_content_identical(tmp_path):
+    """The headline parity target: full-pipeline alignment on Primates
+    (16 mitogenomes) matches the reference's output byte for byte
+    (content rows; headers differ by mode: the fixture was captured via
+    `CSA A` on the rotated FASTA)."""
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    seqs = fio.load_fasta(str(fx / "Primates.txt"), log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO())
+    rot_codes = _rotated_codes(seqs, res.rotations)
+    result = runner.run_alignment(rot_codes, log=io.StringIO())
+    out = tmp_path / "aligned.fasta"
+    runner.save_alignment(
+        str(out), result, rot_codes, seqs.names, res.rotations,
+        log=io.StringIO(),
+    )
+    ref = [
+        l for l in (fx / "Primates-Rotated-Aligned.fasta").read_text().splitlines()
+        if not l.startswith(">")
+    ]
+    mine = [
+        l for l in out.read_text().splitlines() if not l.startswith(">")
+    ]
+    assert mine == ref
