@@ -52,7 +52,7 @@ def main() -> None:
     parity = rotations == EXPECTED_ROT
 
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         rot.analyze(seqs, log=sink, backend="jax")
         times.append(time.perf_counter() - t0)

@@ -27,10 +27,12 @@ NEG = jnp.int32(-(2**30))
 
 
 @functools.partial(jax.jit, static_argnames=("R", "C"))
-def _wavefront_program(codes, sv, i, *, R: int, C: int):
-    """codes: (R,) int32; sv: (C, 5) int32; i: () int32.
+def _wavefront_program(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int):
+    """codes: (R,) int32; sv: (C, 5) int32; i: () int32;
+    top_row: (C+1,) int32 dp[0][*] boundary; edge_rowgap: () int32 scale
+    of dp[j][0] (possibly stale, see progressive.dp_fill).
 
-    Returns dirs (R+1, C+1) int8 and dp final row value.
+    Returns the skewed direction matrix.
     """
     onehot = jax.nn.one_hot(codes, 4, dtype=jnp.int32)  # (R, 4)
     cnt = jnp.dot(onehot, sv[:, :4].T, preferred_element_type=jnp.int32)  # (R, C)
@@ -38,7 +40,6 @@ def _wavefront_program(codes, sv, i, *, R: int, C: int):
     sub = MATCH * cnt + INDEL * svg[None, :] + MISMATCH * (i - cnt - svg[None, :])
     rowgap = INDEL * i
     colgap = DOUBLEGAP * svg + INDEL * (i - svg)  # (C,)
-    top_row = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(colgap)])
 
     # skew sub and colgap: skew[d, j] = sub[j-1, (d - j) - 1] for the cell
     # (j, c=d-j); lanes j = 0..R (lane 0 is the dp top row)
@@ -64,14 +65,15 @@ def _wavefront_program(codes, sv, i, *, R: int, C: int):
             take_diag, jnp.int8(D_DIAG),
             jnp.where(take_left, jnp.int8(D_LEFT), jnp.int8(D_UP)),
         )
-        # boundaries: lane 0 = top row dp[0, d]; lane j at c==0 = j*rowgap
+        # boundaries: lane 0 = top row dp[0, d]; lane j at c==0 uses the
+        # (possibly stale) edge_rowgap scale
         val = jnp.where(lanes == 0, top_row[jnp.clip(d, 0, C)], val)
-        val = jnp.where((c == 0) & (lanes > 0), lanes * rowgap, val)
+        val = jnp.where((c == 0) & (lanes > 0), lanes * edge_rowgap, val)
         val = jnp.where(in_range | (lanes == 0) | (c == 0), val, NEG)
         dirs_d = jnp.where(in_range, dirs_d, jnp.int8(D_DIAG))
         return (val, dp1), dirs_d
 
-    dp0 = jnp.where(lanes == 0, top_row[0], lanes * rowgap).astype(jnp.int32)
+    dp0 = jnp.where(lanes == 0, top_row[0], lanes * edge_rowgap).astype(jnp.int32)
     dp0 = jnp.where(lanes <= R, dp0, NEG)
     dpm1 = jnp.full(R + 1, NEG)
     (_, _), dirs_sk = jax.lax.scan(
@@ -81,22 +83,37 @@ def _wavefront_program(codes, sv, i, *, R: int, C: int):
     return dirs_sk
 
 
-def dp_fill_device(row_codes: np.ndarray, scorevector: np.ndarray, i: int):
+def dp_fill_device(
+    row_codes: np.ndarray,
+    scorevector: np.ndarray,
+    i: int,
+    top_row=None,
+    edge_rowgap=None,
+):
     """Drop-in device replacement for progressive.dp_fill (dirs only).
 
     Pads R, C to multiples of 64 to bound recompiles.
     """
+    from ..align.progressive import default_top_row
+
     R = len(row_codes)
     C = len(scorevector)
+    if top_row is None:
+        top_row = default_top_row(scorevector, i)
+    if edge_rowgap is None:
+        edge_rowgap = INDEL * i
     Rp = max(64, -(-R // 64) * 64)
     Cp = max(64, -(-C // 64) * 64)
     codes = np.zeros(Rp, dtype=np.int32)
     codes[:R] = row_codes
     sv = np.zeros((Cp, 5), dtype=np.int32)
     sv[:C] = scorevector
+    top = np.zeros(Cp + 1, dtype=np.int32)
+    top[: C + 1] = top_row[: C + 1]
     dirs_sk = np.asarray(
         _wavefront_program(
-            jnp.asarray(codes), jnp.asarray(sv), jnp.int32(i), R=Rp, C=Cp
+            jnp.asarray(codes), jnp.asarray(sv), jnp.int32(i),
+            jnp.asarray(top), jnp.int32(edge_rowgap), R=Rp, C=Cp
         )
     )
     # unskew: dirs[j, c] = dirs_sk[j + c - 1, j]

@@ -119,6 +119,32 @@ class RotationIndex:
         n_plus = np.int64(len(self.seq_of) + 1)
         return r1 * n_plus + r2
 
+    def prefix_fingerprint_mixed(self, g: np.ndarray, d: np.ndarray) -> np.ndarray:
+        """Fingerprints with a per-element prefix length; batches every
+        depth into one device dispatch on the accelerator backend (the
+        per-depth variant costs one tunnel round-trip per call)."""
+        g = np.asarray(g, dtype=np.int64)
+        d = np.asarray(d, dtype=np.int64)
+        if self.device_ranks is not None:
+            from . import engine
+
+            return engine.device_fingerprint_mixed(self, g, d)
+        t = np.zeros(len(d), dtype=np.int64)
+        dd = d.copy()
+        while np.any(dd > 1):
+            grow = dd > 1
+            t[grow] += 1
+            dd[grow] >>= 1
+        r1 = np.empty(len(g), dtype=np.int64)
+        r2 = np.empty(len(g), dtype=np.int64)
+        g2 = self.advance(g, d - (np.int64(1) << t))
+        for tt in np.unique(t):
+            sel = t == tt
+            r1[sel] = self.levels[int(tt)][g[sel]]
+            r2[sel] = self.levels[int(tt)][g2[sel]]
+        n_plus = np.int64(len(self.seq_of) + 1)
+        return r1 * n_plus + r2
+
 
 def build_rotation_index(encoded: Sequence[np.ndarray]) -> RotationIndex:
     """Build the sorted, deduplicated cyclic rotation index.
@@ -373,17 +399,33 @@ def remove_suffix_blocks(blocks: BlockSet) -> np.ndarray:
     rep = idx.sa[blocks.start]  # representative occurrence of each block
     keep = np.ones(nb, dtype=bool)
     # group blocks by depth; for each distinct depth ds, fingerprint the
-    # length-ds suffix of every strictly deeper block and match
+    # length-ds suffix of every strictly deeper block and match.  All
+    # fingerprints are gathered in TWO batched queries (one for the
+    # blocks' own prefixes, one for every (deeper block, ds) suffix) so
+    # the accelerator backend pays two dispatches, not two per depth.
     distinct = np.unique(depth)
+    own_fp = idx.prefix_fingerprint_mixed(rep, depth)
+    qs_g: List[np.ndarray] = []
+    qs_d: List[np.ndarray] = []
+    groups: List[int] = []
+    bounds = [0]
     for ds in distinct:
         ds = int(ds)
-        owners = np.nonzero(depth == ds)[0]
         deeper = np.nonzero(depth > ds)[0]
         if len(deeper) == 0:
             continue
-        own_fp = idx.prefix_fingerprint(rep[owners], ds)
-        suf_start = idx.advance(rep[deeper], depth[deeper] - ds)
-        suf_fp = idx.prefix_fingerprint(suf_start, ds)
-        is_suffix = np.isin(own_fp, suf_fp)
+        qs_g.append(idx.advance(rep[deeper], depth[deeper] - ds))
+        qs_d.append(np.full(len(deeper), ds, dtype=np.int64))
+        groups.append(ds)
+        bounds.append(bounds[-1] + len(deeper))
+    if not qs_g:
+        return keep
+    all_fp = idx.prefix_fingerprint_mixed(
+        np.concatenate(qs_g), np.concatenate(qs_d)
+    )
+    for gi, ds in enumerate(groups):
+        owners = np.nonzero(depth == ds)[0]
+        suf_fp = all_fp[bounds[gi] : bounds[gi + 1]]
+        is_suffix = np.isin(own_fp[owners], suf_fp)
         keep[owners[is_suffix]] = False
     return keep

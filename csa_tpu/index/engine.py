@@ -331,6 +331,20 @@ def _fingerprint_device(rank_stack, lengths, g_pad, off, *, t: int, n_max: int):
     return rank_stack[t][g_pad], rank_stack[t][g2]
 
 
+@functools.partial(jax.jit, static_argnames=("n_max",))
+def _fingerprint_mixed_device(rank_stack, lengths, g_pad, t_arr, off_arr, *, n_max: int):
+    """Mixed-depth fingerprints in ONE dispatch: per-element rank level
+    ``t_arr`` and window offset ``off_arr`` (tunnel round-trips per depth
+    group dominate the rotation wall time otherwise)."""
+    s = g_pad // n_max
+    p = g_pad % n_max
+    nn = jnp.maximum(lengths[s], 1)
+    g2 = s * n_max + (p + off_arr) % nn
+    r1 = rank_stack[t_arr, g_pad]
+    r2 = rank_stack[t_arr, g2]
+    return r1, r2
+
+
 def device_fingerprint(index: cyclic.RotationIndex, g: np.ndarray, d: int):
     """Fingerprint length-``d`` prefixes via on-device rank gathers."""
     k, n_max = index.device_layout
@@ -345,6 +359,35 @@ def device_fingerprint(index: cyclic.RotationIndex, g: np.ndarray, d: int):
         jnp.asarray(g_pad),
         jnp.int32(d - (1 << t)),
         t=t,
+        n_max=n_max,
+    )
+    r1 = np.asarray(r1).astype(np.int64)
+    r2 = np.asarray(r2).astype(np.int64)
+    return r1 * np.int64(k * n_max + 1) + r2
+
+
+def device_fingerprint_mixed(index: cyclic.RotationIndex, g: np.ndarray, d: np.ndarray):
+    """Fingerprints for per-element prefix lengths ``d`` (one dispatch)."""
+    k, n_max = index.device_layout
+    g = np.asarray(g, dtype=np.int64)
+    d = np.asarray(d, dtype=np.int64)
+    seq = index.seq_of[g]
+    g_pad = (seq * n_max + index.pos_of[g]).astype(np.int32)
+    t = np.maximum(
+        np.int64(0),
+        (np.log2(np.maximum(d, 1)).astype(np.int64)),
+    )
+    # exact floor(log2(d)): fix up float rounding
+    t = np.where((np.int64(1) << (t + 1)) <= d, t + 1, t)
+    t = np.where((np.int64(1) << t) > d, t - 1, t)
+    off = (d - (np.int64(1) << t)).astype(np.int32)
+    lengths = index.n_of[index.offsets[:-1]].astype(np.int32)
+    r1, r2 = _fingerprint_mixed_device(
+        index.device_ranks,
+        jnp.asarray(lengths),
+        jnp.asarray(g_pad),
+        jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(off),
         n_max=n_max,
     )
     r1 = np.asarray(r1).astype(np.int64)

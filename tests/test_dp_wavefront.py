@@ -1,0 +1,56 @@
+"""Device wavefront vs host DP fill: bit-exact direction matrices."""
+
+import numpy as np
+import pytest
+
+from csa_tpu import native
+from csa_tpu.align import progressive
+from csa_tpu.dp import wavefront
+
+
+def _random_profile(rng, C, i):
+    sv = np.zeros((C, 5), dtype=np.int64)
+    for c in range(C):
+        left = i
+        for t in rng.permutation(5)[:4]:
+            v = int(rng.integers(0, left + 1))
+            sv[c, t] = v
+            left -= v
+        sv[c, 4] += left
+    return sv
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_device_wavefront_matches_host(trial):
+    rng = np.random.default_rng(trial)
+    R = int(rng.integers(1, 80))
+    C = int(rng.integers(1, 80))
+    i = int(rng.integers(1, 16))
+    codes = rng.integers(0, 4, size=R).astype(np.int64)
+    sv = _random_profile(rng, C, i)
+    # include a stale-edge case: random top_row / edge_rowgap
+    top = np.cumsum(rng.integers(-i, 1, size=C + 1)).astype(np.int64)
+    top[0] = 0
+    erg = int(rng.integers(-i - 3, 0))
+    _, host_dirs = progressive.dp_fill(codes, sv, i, top_row=top, edge_rowgap=erg)
+    dev_dirs = wavefront.dp_fill_device(codes, sv, i, top_row=top, edge_rowgap=erg)
+    assert np.array_equal(host_dirs, dev_dirs)
+
+
+def test_native_matches_numpy_fallback():
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    R, C, i = 50, 60, 9
+    codes = rng.integers(0, 4, size=R).astype(np.int64)
+    sv = _random_profile(rng, C, i)
+    top = progressive.default_top_row(sv, i)
+    s_nat, d_nat = native.dp_fill_dirs(codes, sv, i, top, progressive.INDEL * i)
+    saved = native.dp_fill_dirs
+    try:
+        native.dp_fill_dirs = lambda *a: None
+        s_np, d_np = progressive.dp_fill(codes, sv, i)
+    finally:
+        native.dp_fill_dirs = saved
+    assert s_nat == s_np
+    assert np.array_equal(d_nat, d_np)
