@@ -253,20 +253,29 @@ def compute_border_nodes(
     group_break[1:] = (l_o[1:] != l_o[:-1]) | (a_o[1:] != a_o[:-1])
     group_ids = np.cumsum(group_break) - 1
     num_groups = int(group_ids[-1]) + 1 if len(group_ids) else 0
-    # split per group, per sequence
-    for gid in range(num_groups):
-        sel = group_ids == gid
-        gseq = s_o[sel]
-        gk = k_o[sel]
-        depth = int(a_o[sel][0])
-        positions = []
-        ok = True
-        for i in range(k):
-            pi = np.sort(gk[gseq == i])
-            if len(pi) == 0:
-                ok = False
-                break
-            positions.append(pi)
-        if ok:
-            nodes.append(BorderNode(size=depth, positions=positions))
+    if num_groups == 0:
+        return nodes
+    # vectorized split: entries are sorted by (group, seq, pos), so each
+    # (group, seq) run is one contiguous slice
+    seq_break = group_break | np.concatenate([[True], s_o[1:] != s_o[:-1]])
+    run_starts = np.nonzero(seq_break)[0]
+    run_ends = np.concatenate([run_starts[1:], [len(order)]])
+    run_group = group_ids[run_starts]
+    run_seq = s_o[run_starts]
+    # keep only groups covering all k sequences
+    seqs_per_group = np.bincount(run_group, minlength=num_groups)
+    full = seqs_per_group == k
+    depths = np.zeros(num_groups, dtype=np.int64)
+    depths[group_ids] = a_o
+    run_keep = full[run_group]
+    rs = run_starts[run_keep]
+    re = run_ends[run_keep]
+    rg = run_group[run_keep]
+    cuts = np.nonzero(np.concatenate([[True], rg[1:] != rg[:-1]]))[0]
+    for t, cut in enumerate(cuts):
+        nxt = cuts[t + 1] if t + 1 < len(cuts) else len(rs)
+        positions = [k_o[rs[r] : re[r]] for r in range(cut, nxt)]
+        nodes.append(
+            BorderNode(size=int(depths[rg[cut]]), positions=positions)
+        )
     return nodes

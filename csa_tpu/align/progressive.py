@@ -220,6 +220,24 @@ def backtrack_merge(
     return new_strings, new_sv, consensussize
 
 
+def _run_scan(window: np.ndarray, start: int, limit: int, value: int,
+              find_value: bool) -> int:
+    """First index >= start where window == value (find_value) or
+    != value (not find_value); returns limit if none.  Doubling chunks
+    keep short runs cheap inside huge windows."""
+    chunk = 64
+    pos = start
+    while pos < limit:
+        end = min(pos + chunk, limit)
+        seg = window[pos:end]
+        hits = np.nonzero((seg == value) if find_value else (seg != value))[0]
+        if len(hits):
+            return pos + int(hits[0])
+        pos = end
+        chunk *= 4
+    return limit
+
+
 def delete_gapped_columns(
     usableseqs: List[int],
     strings: List[Optional[np.ndarray]],
@@ -257,7 +275,7 @@ def delete_gapped_columns(
         dirsignal = 1
         while True:
             # find, per shifting sequence, the non-gap run from col and the
-            # gap run after it, in direction dirsignal
+            # gap run after it, in direction dirsignal (vectorized scans)
             postonextgap = []
             nnextgaps = []
             hit_end = False
@@ -265,21 +283,20 @@ def delete_gapped_columns(
             minnextgaps = consize
             for ii in seqstoshift:
                 s = strings[ii]
-                j = col
-                cnt = 0
-                while j != looplimit and s[j - 1] != GAP:
-                    cnt += 1
-                    j += dirsignal
-                if j == looplimit:
+                if dirsignal > 0:
+                    window = s[col - 1 : looplimit - 1]
+                else:
+                    window = s[col - 1 :: -1]  # looplimit is 0 going left
+                wlen = len(window)
+                cnt = _run_scan(window, 0, wlen, GAP, find_value=True)
+                if cnt >= wlen:
                     hit_end = True
                     break
                 postonextgap.append(cnt)
                 if cnt > postofarthestgap:
                     postofarthestgap = cnt
-                g = 0
-                while j != looplimit and s[j - 1] == GAP:
-                    g += 1
-                    j += dirsignal
+                gend = _run_scan(window, cnt, wlen, GAP, find_value=False)
+                g = gend - cnt
                 nnextgaps.append(g)
                 if g < minnextgaps:
                     minnextgaps = g
@@ -425,16 +442,18 @@ def delete_gapped_columns(
         # apply: counts
         cols_idx = col + dirsignal * np.arange(best_maxposaffected) - 1
         scorevector[cols_idx] = best_workingsv
-        # apply: shift string chars
+        # apply: shift string chars (vectorized block move + gap fill)
         for kk, ii in enumerate(seqstoshift):
             s = strings[ii]
-            mshift = dirsignal * bestshift
-            for j in range(best_nposaffected[kk] - 1, -1, -1):
-                ncol = col + dirsignal * j
-                if j < bestshift:
-                    s[ncol - 1] = GAP
-                else:
-                    s[ncol - 1] = s[ncol - mshift - 1]
+            np_aff = best_nposaffected[kk]
+            if dirsignal > 0:
+                src = s[col - 1 : col - 1 + np_aff - bestshift].copy()
+                s[col - 1 + bestshift : col - 1 + np_aff] = src
+                s[col - 1 : col - 1 + bestshift] = GAP
+            else:
+                src = s[col - np_aff + bestshift : col].copy()
+                s[col - np_aff : col - bestshift] = src
+                s[col - bestshift : col] = GAP
         # remove all-gap columns around col
         n_ = consize
         mrun = 0

@@ -49,35 +49,48 @@ int32_t csa_dp_fill(const int8_t* row_codes, int32_t R,
     dirs[c] = D_LEFT;
   }
   for (int32_t c = 0; c <= C; ++c) prev[c] = top_row[c];
+  // per-column substitution profile for each character code (transposed
+  // scorevector), so the row loop reads contiguous memory
+  std::vector<int32_t> subcol(4 * C);
+  for (int32_t c = 0; c < C; ++c) {
+    const int32_t* col = sv + (int64_t)c * 5;
+    const int32_t g = col[GAP];
+    for (int32_t a = 0; a < 4; ++a) {
+      subcol[(int64_t)a * C + c] =
+          MATCH * col[a] + INDEL * g + MISMATCH * (i - col[a] - g);
+    }
+  }
+  // m1/d1 precompute: max(diag, up) with the diag-preferred tie-break is
+  // vectorizable; only the left-extension chain stays serial.  Tie-break
+  // equivalence with the reference (diag >= up >= left preference):
+  // left wins over m1 iff left > m1, or left == m1 and m1 came from up.
+  std::vector<int32_t> m1(C + 1);
+  std::vector<int8_t> d1(C + 1);
   for (int32_t j = 1; j <= R; ++j) {
-    const int32_t code = row_codes[j - 1];
+    const int32_t* subrow = subcol.data() + (int64_t)row_codes[j - 1] * C;
     int8_t* drow = dirs + (int64_t)j * (C + 1);
     drow[0] = D_UP;
     cur[0] = j * edge_rowgap;
-    int32_t left_val = cur[0];
+    const int32_t* pv = prev.data();
+    int32_t* m1p = m1.data();
+    int8_t* d1p = d1.data();
     for (int32_t c = 1; c <= C; ++c) {
-      const int32_t* col = sv + (int64_t)(c - 1) * 5;
-      const int32_t cnt = col[code];
-      const int32_t g = col[GAP];
-      const int32_t sub = MATCH * cnt + INDEL * g + MISMATCH * (i - cnt - g);
-      const int32_t diag = prev[c - 1] + sub;
-      const int32_t up = prev[c] + rowgap;
-      const int32_t left = left_val + colgap[c];
-      int32_t v;
-      int8_t d;
-      if (diag >= up && diag >= left) {
-        v = diag;
-        d = D_DIAG;
-      } else if (left >= up) {
-        v = left;
-        d = D_LEFT;
-      } else {
-        v = up;
-        d = D_UP;
-      }
-      cur[c] = v;
-      left_val = v;
-      drow[c] = d;
+      const int32_t diag = pv[c - 1] + subrow[c - 1];
+      const int32_t up = pv[c] + rowgap;
+      const bool dwin = diag >= up;
+      m1p[c] = dwin ? diag : up;
+      d1p[c] = dwin ? D_DIAG : D_UP;
+    }
+    int32_t left_val = cur[0];
+    int32_t* cu = cur.data();
+    const int32_t* cg = colgap.data();
+    for (int32_t c = 1; c <= C; ++c) {
+      const int32_t left = left_val + cg[c];
+      const int32_t m = m1p[c];
+      const bool take_left = (left > m) | ((left == m) & (d1p[c] == D_UP));
+      left_val = take_left ? left : m;
+      cu[c] = left_val;
+      drow[c] = take_left ? D_LEFT : d1p[c];
     }
     prev.swap(cur);
   }

@@ -114,3 +114,26 @@ def test_primates_full_alignment_content_identical(tmp_path):
         l for l in out.read_text().splitlines() if not l.startswith(">")
     ]
     assert mine == ref
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("CSA_TPU_SLOW_TESTS"),
+    reason="set CSA_TPU_SLOW_TESTS=1 for the large acceptance sets",
+)
+def test_mammals_full_alignment_content_identical(tmp_path):
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    seqs = fio.load_fasta(str(fx / "Mammals.txt"), log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO())
+    rot_codes = _rotated_codes(seqs, res.rotations)
+    result = runner.run_alignment(rot_codes, log=io.StringIO())
+    out = tmp_path / "aligned.fasta"
+    runner.save_alignment(
+        str(out), result, rot_codes, seqs.names, res.rotations,
+        log=io.StringIO(),
+    )
+    ref = [
+        l for l in (fx / "Mammals-Rotated-Aligned.fasta").read_text().splitlines()
+        if not l.startswith(">")
+    ]
+    mine = [l for l in out.read_text().splitlines() if not l.startswith(">")]
+    assert mine == ref
