@@ -7,10 +7,14 @@ set of (label, positions) pairs.
 
 import csv
 import io
+import os
+import pathlib
 import subprocess
 import sys
 
 from csa_tpu.io.fasta import load_fasta, discard_duplicate_rotations
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
 def _csv_rows(path):
@@ -34,6 +38,8 @@ def test_blocks_csv_parity(fixtures_dir, tmp_path):
         text=True,
         cwd=tmp_path,
         timeout=1200,
+        env={**os.environ,
+             "PYTHONPATH": str(REPO_ROOT) + os.pathsep + os.environ.get("PYTHONPATH", "")},
     )
     assert proc.returncode == 0, proc.stderr
     assert "> Done!" in proc.stdout
