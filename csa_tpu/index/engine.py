@@ -56,7 +56,7 @@ def device_index_program(codes, lengths, *, k: int, n_max: int, levels: int):
     g = jnp.arange(n_total, dtype=jnp.int32)
     seq_of = g // n_max
     pos_of = g % n_max
-    n_of = lengths[seq_of]
+    n_of = jnp.maximum(lengths[seq_of], 1)
     valid = pos_of < n_of
     base = seq_of * n_max
 
@@ -69,15 +69,13 @@ def device_index_program(codes, lengths, *, k: int, n_max: int, levels: int):
     big = jnp.int32(n_total)
     rank = jnp.where(valid, codes.reshape(-1).astype(jnp.int32), big + g)
     rank_levels = [rank]
+    order = None
     for t in range(levels - 1):
-        length = jnp.int32(1 << t)
-        rank2 = rank[adv(g, length)]
-        # stable two-pass lexsort on (rank, rank2) in pure int32 (JAX
-        # default has x64 disabled; a combined 64-bit key would truncate)
-        o2 = jnp.argsort(rank2, stable=True)
-        order = o2[jnp.argsort(rank[o2], stable=True)]
-        r1s = rank[order]
-        r2s = rank2[order]
+        rank2 = rank[adv(g, jnp.int32(1 << t))]
+        # ONE stable multi-key sort per level (lexicographic on the rank
+        # pair); pure int32 — JAX default has x64 disabled, so a combined
+        # 64-bit key would truncate
+        r1s, r2s, order = jax.lax.sort((rank, rank2, g), num_keys=2, is_stable=True)
         newgrp = jnp.concatenate(
             [
                 jnp.zeros(1, jnp.int32),
@@ -92,7 +90,13 @@ def device_index_program(codes, lengths, *, k: int, n_max: int, levels: int):
     rank_stack = jnp.stack(rank_levels)  # (levels, N)
 
     final = rank_levels[-1]
-    sa = jnp.argsort(final).astype(jnp.int32)  # stable: ties keep (seq,pos)
+    if order is None:  # degenerate levels == 1
+        sa = jnp.argsort(final).astype(jnp.int32)
+    else:
+        # the last level's sort order IS the final rank order (the dense
+        # final rank was assigned in that order; ties keep g ascending,
+        # exactly like a stable argsort of `final`)
+        sa = order.astype(jnp.int32)
 
     # duplicate-rotation detection (same sequence, identical periodic string)
     fr = final[sa]
@@ -148,6 +152,8 @@ def collect_program(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
         mini.append(jnp.where(take_left, prev_i, shifted_i))
     minv_st = jnp.stack(minv)
     mini_st = jnp.stack(mini)
+    minv_flat = minv_st.reshape(-1)  # flattened: 1D gathers beat generic 2D
+    mini_flat = mini_st.reshape(-1)
 
     idx = jnp.arange(n_total, dtype=jnp.int32)
 
@@ -183,11 +189,12 @@ def collect_program(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
         for t in range(1, tlevels):
             tt = jnp.where(span >= jnp.int32(1 << t), jnp.int32(t), tt)
         pow_tt = jnp.left_shift(jnp.int32(1), tt)
-        lv = minv_st[tt, lo]
-        li = mini_st[tt, lo]
+        base = tt * jnp.int32(n_total)
+        lv = minv_flat[base + lo]
+        li = mini_flat[base + lo]
         rstart = hi - pow_tt + 1
-        rv = minv_st[tt, rstart]
-        ri = mini_st[tt, rstart]
+        rv = minv_flat[base + rstart]
+        ri = mini_flat[base + rstart]
         take_left = (lv < rv) | ((lv == rv) & (li <= ri))
         return jnp.where(take_left, li, ri)
 
@@ -200,13 +207,15 @@ def collect_program(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
     is_canon = has_node & (canon == idx)
 
     # ---- all-sequences coverage of each boundary's interval ----
-    allseq = jnp.ones(n_total, dtype=bool)
-    for s in range(k):
-        pref = jnp.cumsum((seq_sorted == s).astype(jnp.int32))
-        pref = jnp.concatenate([jnp.zeros(1, jnp.int32), pref])
-        cnt = pref[end + 1] - pref[start]
-        allseq = allseq & (cnt >= 1)
-    allseq = allseq & has_node
+    # one fused (N+1, k) prefix-count instead of k separate cumsum passes
+    one_hot = (
+        seq_sorted[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int32)
+    pref = jnp.concatenate(
+        [jnp.zeros((1, k), jnp.int32), jnp.cumsum(one_hot, axis=0)]
+    )
+    cnt = pref[end + 1] - pref[start]  # (N, k) via two row-gathers
+    allseq = jnp.all(cnt >= 1, axis=1) & has_node
 
     # ---- mark parents that have an all-seq child ----
     lcp_ext = jnp.concatenate([lcp, jnp.zeros(1, jnp.int32)])
@@ -286,6 +295,208 @@ def collect_blocks_jax(
     cdepth = np.asarray(lcp)[mask].astype(np.int64)
     blocks = cyclic.BlockSet(index, cstart, cend, cdepth)
     return index, blocks
+
+
+MAX_DEPTH_SLOTS = 512  # static bound on distinct block depths (escalated)
+
+
+def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, cap: int, slots: int = MAX_DEPTH_SLOTS):
+    """Index + collect + suffix-filter + uniqueness + positions, fused.
+
+    One device program covering the whole block stage of the reference
+    rotation phase (csamsa.c:271-308: collectNodes, removeSuffixNodes,
+    removeNonUniqueNodes + collectPositions), returning ONE packed int32
+    vector so the host pays a single device round trip (the tunneled-chip
+    transfer latency dominates wall time otherwise).
+
+    Packed layout: [dup, nb,
+                    bstart (cap), bend (cap), bdepth (cap),
+                    keep_suffix (cap), unique (cap),
+                    positions (cap*k, row-major block-major)].
+    ``nb`` may exceed ``cap``; the host must re-run with a larger cap then.
+    """
+    n_total = k * n_max
+    rank_stack, sa, lcp, raw, dup = device_index_program(
+        codes, lengths, k=k, n_max=n_max, levels=levels
+    )
+    collected, start, end, pos_sorted, seq_sorted = collect_program(
+        sa, lcp, lengths, k=k, n_max=n_max, levels=levels
+    )
+
+    # ---- compact collected blocks to a static cap ----
+    nb = jnp.sum(collected).astype(jnp.int32)
+    (bidx,) = jnp.nonzero(collected, size=cap, fill_value=0)
+    bidx = bidx.astype(jnp.int32)
+    valid = jnp.arange(cap, dtype=jnp.int32) < nb
+    bstart = jnp.where(valid, start[bidx], 0)
+    bend = jnp.where(valid, end[bidx], 0)
+    bdepth = jnp.where(valid, lcp[bidx], 1)  # >=1 keeps log2 well-defined
+
+    def adv(gg, off):
+        s = gg // n_max
+        p = gg % n_max
+        nn = jnp.maximum(lengths[s], 1)
+        return s * n_max + (p + off) % nn
+
+    # ---- per-sequence member table: M[s] = ascending sorted-order indices
+    # of sequence s's (real) members, padded with n_total ----
+    member_valid = pos_sorted < lengths[seq_sorted]
+    seq_key = jnp.where(member_valid, seq_sorted, jnp.int32(k))
+    ord2 = jnp.argsort(seq_key, stable=True).astype(jnp.int32)
+    sorted_seq = seq_key[ord2]
+    first_of_seq = jnp.searchsorted(
+        sorted_seq, jnp.arange(k, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    col = jnp.arange(n_total, dtype=jnp.int32) - first_of_seq[
+        jnp.minimum(sorted_seq, k - 1)
+    ]
+    flat = jnp.where(
+        sorted_seq < k,
+        sorted_seq * n_max + col,
+        n_total,  # dump slot for pad members
+    )
+    M = (
+        jnp.full(n_total + 1, jnp.int32(n_total), jnp.int32)
+        .at[flat]
+        .set(ord2)[:n_total]
+        .reshape(k, n_max)
+    )
+
+    # ---- uniqueness counts + first-occurrence positions (cap, k) ----
+    q_lo = jnp.broadcast_to(bstart, (k, cap))
+    q_hi = jnp.broadcast_to(bend + 1, (k, cap))
+    lo = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="left"))(M, q_lo)
+    hi = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="left"))(M, q_hi)
+    cnts = hi - lo  # (k, cap)
+    unique = jnp.all(cnts == 1, axis=0) & valid
+    first_i = M[jnp.arange(k)[:, None], jnp.minimum(lo, n_max - 1)]
+    first_i = jnp.minimum(first_i, n_total - 1)
+    positions = pos_sorted[first_i].T  # (cap, k)
+
+    # ---- suffix-containment filter (removeSuffixNodes semantics):
+    # drop block i iff some strictly deeper block j has block i's string as
+    # its length-depth[i] suffix.  Exact via the suffix array itself: the
+    # length-d suffix of block j starts at rotation q = adv(rep_j, d_j - d);
+    # block i (depth d) contains that string iff q's sorted position lies in
+    # i's lcp-interval [bstart_i, bend_i].  Blocks of equal depth have
+    # disjoint intervals, so a (depth-slot, sorted-position) join decides
+    # membership with one search per block instead of a cap^2 matrix. ----
+    BIG = jnp.int32(1 << 30)
+    nslots = cap if cap < slots else slots
+    uniqd = jnp.unique(
+        jnp.where(valid, bdepth, BIG), size=nslots, fill_value=BIG
+    )
+    num_distinct = jnp.sum(uniqd < BIG).astype(jnp.int32)
+    slot_of_block = jnp.searchsorted(uniqd, bdepth).astype(jnp.int32)
+
+    inv_sa = (
+        jnp.zeros(n_total, jnp.int32)
+        .at[sa]
+        .set(jnp.arange(n_total, dtype=jnp.int32))
+    )
+    rep = sa[bstart]
+    dq = uniqd[None, :]  # (1, nslots)
+    djm = bdepth[:, None]  # (cap, 1)
+    qvalid = valid[:, None] & (dq < BIG) & (djm > dq)
+    q_g = adv(rep[:, None], jnp.where(qvalid, djm - dq, 0))
+    q_r = inv_sa[q_g]  # (cap, nslots) sorted position of each suffix start
+    slot_mat = jnp.broadcast_to(
+        jnp.arange(nslots, dtype=jnp.int32)[None, :], (cap, nslots)
+    )
+    key_slot = jnp.where(qvalid, slot_mat, jnp.int32(nslots)).reshape(-1)
+    key_r = jnp.where(qvalid, q_r, jnp.int32(n_total)).reshape(-1)
+    ks, rs = jax.lax.sort((key_slot, key_r), num_keys=2)
+    seg = jnp.searchsorted(
+        ks, jnp.arange(nslots + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    nq = cap * nslots
+    lo0 = seg[slot_of_block]
+    hi0 = seg[jnp.minimum(slot_of_block + 1, nslots)]
+
+    def seg_lower_bound(target):
+        lo, hi = lo0, hi0
+        for _ in range(int(np.ceil(np.log2(nq + 1))) + 1):
+            cond = lo < hi
+            mid = (lo + hi) >> 1
+            v = rs[jnp.clip(mid, 0, nq - 1)]
+            less = v < target
+            lo = jnp.where(cond & less, mid + 1, lo)
+            hi = jnp.where(cond & ~less, mid, hi)
+        return lo
+
+    cnt_in = seg_lower_bound(bend + 1) - seg_lower_bound(bstart)
+    keep_suffix = valid & (cnt_in == 0)
+
+    packed = jnp.concatenate(
+        [
+            jnp.stack([dup.astype(jnp.int32), nb, num_distinct]),
+            bstart,
+            bend,
+            jnp.where(valid, bdepth, 0),
+            keep_suffix.astype(jnp.int32),
+            unique.astype(jnp.int32),
+            positions.astype(jnp.int32).reshape(-1),
+        ]
+    )
+    return packed, rank_stack, sa, lcp, raw
+
+
+_full_rotation_device = functools.partial(
+    jax.jit, static_argnames=("k", "n_max", "levels", "cap", "slots")
+)(full_rotation_program)
+
+
+class RotationBlocks:
+    """Host view of the fused rotation block stage (one transfer)."""
+
+    __slots__ = (
+        "start", "end", "depth", "keep_suffix", "unique", "positions",
+        "num_collected",
+    )
+
+    def __init__(self, arr: np.ndarray, cap: int, k: int, nb: int):
+        f = arr[3:]
+        self.num_collected = nb
+        sl = lambda i: f[i * cap : (i + 1) * cap][:nb]
+        self.start = sl(0).astype(np.int64)
+        self.end = sl(1).astype(np.int64)
+        self.depth = sl(2).astype(np.int64)
+        self.keep_suffix = sl(3).astype(bool)
+        self.unique = sl(4).astype(bool)
+        self.positions = (
+            f[5 * cap : (5 + k) * cap].reshape(cap, k)[:nb].astype(np.int64)
+        )
+
+
+def rotation_blocks_jax(encoded: Sequence[np.ndarray], cap: int = 4096):
+    """Run the fused rotation block stage; returns ``RotationBlocks`` or
+    ``None`` when duplicate within-sequence rotations demand the exact
+    numpy fallback (degenerate periodic inputs, docs/PARITY.md)."""
+    k = len(encoded)
+    sizes = np.array([len(e) for e in encoded], dtype=np.int32)
+    n_max = _bucket(int(sizes.max()))
+    levels = _num_levels(n_max)
+    codes = np.zeros((k, n_max), dtype=np.int32)
+    for i, e in enumerate(encoded):
+        codes[i, : len(e)] = e
+    jc = jnp.asarray(codes)
+    js = jnp.asarray(sizes)
+    slots = MAX_DEPTH_SLOTS
+    while True:
+        packed, *_ = _full_rotation_device(
+            jc, js, k=k, n_max=n_max, levels=levels, cap=cap, slots=slots
+        )
+        arr = np.asarray(packed)  # the single device->host transfer
+        dup, nb, ndepth = int(arr[0]), int(arr[1]), int(arr[2])
+        if dup:
+            return None
+        if nb <= cap and ndepth <= slots:
+            return RotationBlocks(arr, cap, k, nb)
+        if nb > cap:
+            cap = _bucket(nb, 1024)
+        if ndepth > slots:
+            slots = _bucket(ndepth, 256)
 
 
 def _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max):

@@ -59,40 +59,57 @@ def analyze(
     sizes = seqs.sizes
     encoded = seqs.encoded_all()
 
+    fused = None
+    index = None
     if backend == "jax":
         from ..index import engine as jax_engine
 
-        index, blocks = jax_engine.collect_blocks_jax(encoded)
+        fused = jax_engine.rotation_blocks_jax(encoded)
+
+    if fused is not None:
+        # the whole block stage (collect + suffix filter + uniqueness +
+        # positions) ran as ONE device program with ONE transfer
+        print("> Collecting maximum common subsequences... ", end="", file=log)
+        num_collected = fused.num_collected
+        print(f"{num_collected} nodes found", file=log)
+        if num_collected == 0:
+            raise RotationError("No unique subsequences found")
+        print("> Removing suffixes... ", end="", file=log)
+        num_after_suffix = int(fused.keep_suffix.sum())
+        print(f"{num_after_suffix} nodes left", file=log)
+        print("> Removing repeats... ", end="", file=log)
+        final = fused.keep_suffix & fused.unique
+        fstart = fused.start[final]
+        fdepth = fused.depth[final]
+        fpos = fused.positions[final]
+        num_after_unique = len(fstart)
     else:
         index = cyclic.build_rotation_index(encoded)
         blocks = cyclic.collect_blocks(index)
 
-    print("> Collecting maximum common subsequences... ", end="", file=log)
-    num_collected = len(blocks)
-    print(f"{num_collected} nodes found", file=log)
-    if num_collected == 0:
-        # reference reaches this via the root-only block list being filtered
-        # by the uniqueness pass (csamsa.c:290-293)
-        raise RotationError("No unique subsequences found")
+        print("> Collecting maximum common subsequences... ", end="", file=log)
+        num_collected = len(blocks)
+        print(f"{num_collected} nodes found", file=log)
+        if num_collected == 0:
+            # reference reaches this via the root-only block list being
+            # filtered by the uniqueness pass (csamsa.c:290-293)
+            raise RotationError("No unique subsequences found")
 
-    print("> Removing suffixes... ", end="", file=log)
-    keep = cyclic.remove_suffix_blocks(blocks)
-    blocks = cyclic.BlockSet(
-        blocks.index, blocks.start[keep], blocks.end[keep], blocks.depth[keep]
-    )
-    num_after_suffix = len(blocks)
-    print(f"{num_after_suffix} nodes left", file=log)
+        print("> Removing suffixes... ", end="", file=log)
+        keep = cyclic.remove_suffix_blocks(blocks)
+        blocks = cyclic.BlockSet(
+            blocks.index, blocks.start[keep], blocks.end[keep], blocks.depth[keep]
+        )
+        num_after_suffix = len(blocks)
+        print(f"{num_after_suffix} nodes left", file=log)
 
-    print("> Removing repeats... ", end="", file=log)
-    unique, positions = blocks.positions_if_unique()
-    blocks = cyclic.BlockSet(
-        blocks.index,
-        blocks.start[unique],
-        blocks.end[unique],
-        blocks.depth[unique],
-    )
-    positions = positions[unique]
-    num_after_unique = len(blocks)
+        print("> Removing repeats... ", end="", file=log)
+        unique, positions = blocks.positions_if_unique()
+        fstart = blocks.start[unique]
+        fdepth = blocks.depth[unique]
+        fpos = positions[unique]
+        num_after_unique = len(fstart)
+
     if num_after_unique == 0:
         raise RotationError("No unique subsequences found")
     print(f"{num_after_unique} nodes left", file=log)
@@ -100,12 +117,12 @@ def analyze(
     print("> Connecting block chains... ", end="", file=log)
     # reference list order: depth-descending (insertSortedItem,
     # nodeslinkedlists.c:34-51); ties keep a deterministic engine order.
-    order = np.lexsort((blocks.start, -blocks.depth))
+    order = np.lexsort((fstart, -fdepth))
     chain_blocks = [
         Block(
-            depth=int(blocks.depth[i]),
-            positions=positions[i],
-            label_ref=int(blocks.start[i]),
+            depth=int(fdepth[i]),
+            positions=fpos[i],
+            label_ref=int(fstart[i]),
         )
         for i in order
     ]
@@ -126,7 +143,7 @@ def analyze(
         num_after_unique=num_after_unique,
         num_chains=num_chains,
         index=index,
-        block_depths=blocks.depth[order] if len(order) else np.empty(0),
+        block_depths=fdepth[order] if len(order) else np.empty(0),
     )
 
 
