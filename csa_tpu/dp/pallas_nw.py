@@ -34,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -(2**24)
 
 
-def _nw_kernel(dstar_ref, a_ref, br_ref, out_ref, dp1_ref, dp2_ref, bbuf_ref):
-    """dstar: (1,) target diagonal (= la + lb).
+def _nw_kernel(a_ref, br_ref, out_ref, dp1_ref, dp2_ref, bbuf_ref, *, dstar):
+    """dstar: static target diagonal (= la + lb).
     a: (B, NP) int32 — the caller stores a[i-1] at lane i (pad 255);
     br: (B, TP) reversed-b codes placed at [TP-NP-lb, TP-NP) (pad 254);
     out: (B, NP) int32 = dp values on diagonal dstar
@@ -44,68 +44,83 @@ def _nw_kernel(dstar_ref, a_ref, br_ref, out_ref, dp1_ref, dp2_ref, bbuf_ref):
     Mosaic has no dynamic-start lane slices, so ``bbuf`` holds ``br``
     rolled right by ``d`` lanes each diagonal and the read window is the
     static slice [TP-NP, TP).
+
+    One cross-lane shift per diagonal: diagonal d needs roll(val(d-1))
+    and roll(val(d-2)); the latter is the roll computed at step d-1, so
+    the state carried between steps is (val(d-1), roll(val(d-2))).
+    The roll is masked at lane 0 (``where(lane==0, NEG, roll)``), which
+    Mosaic lowers as a fill-shift — measurably cheaper than a cyclic
+    roll.  Lanes outside the valid triangle (lane > d) and beyond the
+    true column range (j > lb) are never read by any in-range cell — DP
+    dependencies only flow from smaller i and j — so they are left as
+    drifting garbage (bounded far below any reachable score) instead of
+    being re-masked every step.  ``dstar`` is static so the last block
+    is peeled out of the loop and the target diagonal is written with a
+    plain store (no per-step predicated store), and no diagonal beyond
+    dstar is computed.
     """
     B, NP = dp1_ref.shape
     TP = br_ref.shape[1]
-    dstar = dstar_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, NP), 1)
 
-    # d = 0 diagonal: only cell (0,0) = 0;  d = 1: (0,1) and (1,0) = -1
-    dp2_ref[:] = jnp.where(lane == 0, 0, NEG)
+    # state entering d=2: dp1 = val(1) = [-1,-1,NEG..]; dp2 holds
+    # roll(val(0),1) = [junk, 0, NEG..] (lane 0 never read at d=2)
+    dp2_ref[:] = jnp.where(lane == 1, 0, NEG)
     dp1_ref[:] = jnp.where(lane <= 1, -1, NEG)
-    out_ref[:] = jnp.where(lane <= 1, -1, NEG)  # in case dstar <= 1
     bbuf_ref[:] = br_ref[:]
+    if dstar <= 1:
+        out_ref[:] = jnp.where(lane <= 1, -(max(dstar, 0)), NEG)
+        return
 
     prev_a = a_ref[:]
-    K = 8  # roll the big b buffer once per K diagonals (K static windows)
+    K = 16  # roll the big b buffer once per K diagonals (K static windows)
 
-    def step(d, phase, dp1, dp2, bbuf):
+    def step(d, phase, dp1, rp, bbuf):
         # lane i of diagonal d needs b[d-i-1] = br[(TP-NP) - d + i];
         # bbuf = roll(br, blk*K) and d = 2 + blk*K + phase, so the window
         # start is (TP-NP) - 2 - phase — static per unrolled phase
         start = TP - NP - 2 - phase
         bseg = bbuf[:, start : start + NP]
         sub = jnp.where(prev_a == bseg, 1, -1)
-        shift1 = jnp.where(lane == 0, NEG, pltpu.roll(dp1, shift=1, axis=1))
-        shift2 = jnp.where(lane == 0, NEG, pltpu.roll(dp2, shift=1, axis=1))
-        diag = shift2 + sub
-        up = shift1 - 1  # from (i-1, d-i): gap in b
-        left = dp1 - 1  # from (i, d-1-i): gap in a
-        val = jnp.maximum(diag, jnp.maximum(up, left))
+        r = jnp.where(lane == 0, NEG, pltpu.roll(dp1, shift=1, axis=1))
+        # diag from (i-1, d-2-(i-1)) = rp; up/left share the -1 penalty
+        val = jnp.maximum(rp + sub, jnp.maximum(r, dp1) - 1)
         # boundaries: (0, d) = -d; (d, 0) = -d
         val = jnp.where(lane == 0, -d, val)
         val = jnp.where(lane == d, -d, val)
-        val = jnp.where(lane > d, NEG, val)
-
-        @pl.when(d == dstar)
-        def _():
-            out_ref[:] = val
-
-        return val, dp1
+        return val, r
 
     def body(blk, _):
         d0 = 2 + blk * K
         bbuf = bbuf_ref[:]  # = roll(br, blk*K)
         dp1 = dp1_ref[:]
-        dp2 = dp2_ref[:]
+        rp = dp2_ref[:]
         for phase in range(K):
-            dp1, dp2 = step(d0 + phase, phase, dp1, dp2, bbuf)
+            dp1, rp = step(d0 + phase, phase, dp1, rp, bbuf)
         dp1_ref[:] = dp1
-        dp2_ref[:] = dp2
+        dp2_ref[:] = rp
         bbuf_ref[:] = pltpu.roll(bbuf, shift=K, axis=1)
         return 0
 
-    ndiag = NP + (TP - NP - NP) - 1  # diagonals 2 .. TP-NP
-    nblk = (ndiag + K - 1) // K
-    jax.lax.fori_loop(0, nblk, body, 0)
+    # diagonals 2..dstar; the block containing dstar is peeled so the
+    # capture is an unconditional store and no diagonal past dstar runs
+    nblk = (dstar - 1 + K - 1) // K
+    jax.lax.fori_loop(0, nblk - 1, body, 0)
+    d0 = 2 + (nblk - 1) * K
+    bbuf = bbuf_ref[:]
+    dp1 = dp1_ref[:]
+    rp = dp2_ref[:]
+    for phase in range(dstar - d0 + 1):
+        dp1, rp = step(d0 + phase, phase, dp1, rp, bbuf)
+    out_ref[:] = dp1
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("dstar", "interpret"))
 def _nw_call(dstar, a, br, interpret=False):
     B, NP = a.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -119,11 +134,11 @@ def _nw_call(dstar, a, br, interpret=False):
         ],
     )
     return pl.pallas_call(
-        _nw_kernel,
+        functools.partial(_nw_kernel, dstar=dstar),
         out_shape=jax.ShapeDtypeStruct((B, NP), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(dstar, a, br)
+    )(a, br)
 
 
 def pairwise_nw_scores(
@@ -149,9 +164,8 @@ def pairwise_nw_scores(
     br = np.full((B, TP), 254, dtype=np.int32)
     core_end = TP - NP
     br[:, core_end - lb : core_end] = b_batch[:, ::-1]
-    dstar = np.asarray([la + lb], dtype=np.int32)
     out = np.asarray(
-        _nw_call(jnp.asarray(dstar), jnp.asarray(a), jnp.asarray(br), interpret=interpret)
+        _nw_call(la + lb, jnp.asarray(a), jnp.asarray(br), interpret=interpret)
     )
     return out[:, la]
 
