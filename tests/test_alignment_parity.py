@@ -120,9 +120,10 @@ def test_primates_full_alignment_content_identical(tmp_path):
     not __import__("os").environ.get("CSA_TPU_SLOW_TESTS"),
     reason="set CSA_TPU_SLOW_TESTS=1 for the large acceptance sets",
 )
-def test_mammals_full_alignment_content_identical(tmp_path):
+@pytest.mark.parametrize("name", ["Mammals", "Set3"])
+def test_mammals_full_alignment_content_identical(tmp_path, name):
     fx = pathlib.Path(__file__).parent / "fixtures"
-    seqs = fio.load_fasta(str(fx / "Mammals.txt"), log=io.StringIO())
+    seqs = fio.load_fasta(str(fx / f"{name}.txt"), log=io.StringIO())
     res = rot.analyze(seqs, log=io.StringIO())
     rot_codes = _rotated_codes(seqs, res.rotations)
     result = runner.run_alignment(rot_codes, log=io.StringIO())
@@ -132,7 +133,8 @@ def test_mammals_full_alignment_content_identical(tmp_path):
         log=io.StringIO(),
     )
     ref = [
-        l for l in (fx / "Mammals-Rotated-Aligned.fasta").read_text().splitlines()
+        l
+        for l in (fx / f"{name}-Rotated-Aligned.fasta").read_text().splitlines()
         if not l.startswith(">")
     ]
     mine = [l for l in out.read_text().splitlines() if not l.startswith(">")]
