@@ -58,6 +58,16 @@ def _nw_kernel(a_ref, br_ref, out_ref, dp1_ref, dp2_ref, bbuf_ref, *, dstar):
     is peeled out of the loop and the target diagonal is written with a
     plain store (no per-step predicated store), and no diagonal beyond
     dstar is computed.
+
+    No explicit boundary masks: the boundary values fall out of the
+    recurrence itself.  Row 0 (lane 0, cell (0, d) = -d): the fill-shift
+    leaves r[0] = NEG, dp1[0] = -(d-1), so the left arm gives
+    max(NEG, -(d-1)) - 1 = -d and both other arms are NEG-garbage.
+    Column 0 (lane d, cell (d, 0) = -d): r[d] = dp1[d-1] = cell
+    (d-1, 0) = -(d-1), so the up arm gives -d, while dp1[d] and rp[d]
+    are NEG-garbage.  Garbage can climb by at most +1 per diagonal via
+    the match arm, so it stays below any real score for dstar << 2^24.
+    Dropping the two per-step compare+selects is a measured ~20% win.
     """
     B, NP = dp1_ref.shape
     TP = br_ref.shape[1]
@@ -84,11 +94,9 @@ def _nw_kernel(a_ref, br_ref, out_ref, dp1_ref, dp2_ref, bbuf_ref, *, dstar):
         bseg = bbuf[:, start : start + NP]
         sub = jnp.where(prev_a == bseg, 1, -1)
         r = jnp.where(lane == 0, NEG, pltpu.roll(dp1, shift=1, axis=1))
-        # diag from (i-1, d-2-(i-1)) = rp; up/left share the -1 penalty
+        # diag from (i-1, d-2-(i-1)) = rp; up/left share the -1 penalty;
+        # boundary cells (0, d) and (d, 0) fall out as -d (see docstring)
         val = jnp.maximum(rp + sub, jnp.maximum(r, dp1) - 1)
-        # boundaries: (0, d) = -d; (d, 0) = -d
-        val = jnp.where(lane == 0, -d, val)
-        val = jnp.where(lane == d, -d, val)
         return val, r
 
     def body(blk, _):
@@ -138,6 +146,11 @@ def _nw_call(dstar, a, br, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, NP), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
+        # v5e has 128 MiB VMEM/core; the default 16 MiB scoped cap blocks
+        # the long-sequence shapes (B=8, L>=32k) that maximize cells/s
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(a, br)
 
 
@@ -159,8 +172,14 @@ def pairwise_nw_scores(
     # lane i consumes a[i-1]: store pre-shifted
     a = np.full((B, NP), 255, dtype=np.int32)
     a[:, 1 : la + 1] = a_batch
-    # br: reversed b placed at [TP - NP - lb, TP - NP)
-    TP = -(-(2 * NP + lb) // 128) * 128
+    # br: reversed b placed at [TP - NP - lb, TP - NP).  The window read
+    # at diagonal d is bbuf[TP-NP-2-phase + i] = br[(TP-NP + i - d) mod TP]
+    # (cyclic roll); in-cone lanes have i >= d - lb + 1, so the un-wrapped
+    # index TP-NP+i-d stays >= TP-NP-lb+1 > 0 whenever TP >= NP + lb —
+    # the minimal buffer (out-of-cone lanes may read wrapped garbage,
+    # which never feeds an in-range cell).  The small floor keeps the
+    # static window start TP-NP-2-phase nonnegative for K phases.
+    TP = -(-(NP + max(lb, 32)) // 128) * 128
     br = np.full((B, TP), 254, dtype=np.int32)
     core_end = TP - NP
     br[:, core_end - lb : core_end] = b_batch[:, ::-1]
