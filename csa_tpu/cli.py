@@ -14,7 +14,7 @@ S         Sum-of-pairs score + stats of an alignment
 M         Convert aligned FASTA -> MSF
 ========  ==========================================================
 
-Extra (new in this framework): ``--backend {numpy,jax}``, ``--mesh``,
+Extra (new in this framework): ``--backend {numpy,jax,sharded}``,
 ``--profile``, ``--min-block-size``, ``--max-interval``.
 """
 

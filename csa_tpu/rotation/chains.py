@@ -33,6 +33,12 @@ import numpy as np
 INT_MAX = 2**31 - 1
 
 
+class ChainCycleError(RuntimeError):
+    """Successor links form a cycle (the reference loops forever or
+    segfaults here, csamsa.c:180-226); callers surface it as a clean
+    pipeline error instead."""
+
+
 @dataclass
 class Block:
     """One surviving unique common block."""
@@ -134,7 +140,10 @@ def assemble_chains(
         while cur is not None:
             steps += 1
             if steps > guard:
-                raise RuntimeError("chain walk failed to terminate (cycle)")
+                raise ChainCycleError(
+                    "block successor links form a cycle; no consistent "
+                    "chain ordering exists for this input"
+                )
             interval = _pair_interval(prev, cur, sizes)
             if interval > maxinterval:
                 prev.nextblock = None

@@ -127,7 +127,12 @@ def analyze(
         for i in order
     ]
     chains_mod.link_blocks(chain_blocks, sizes)
-    num_chains = chains_mod.assemble_chains(chain_blocks, sizes, maxinterval)
+    try:
+        num_chains = chains_mod.assemble_chains(chain_blocks, sizes, maxinterval)
+    except chains_mod.ChainCycleError as e:
+        # the reference loops forever / segfaults on these inputs; surface
+        # a clean pipeline error instead (see README, docs/PARITY.md)
+        raise RotationError(str(e)) from e
     print(f"{num_chains} chains found", file=log)
 
     blocks_sorted = chains_mod.sort_by_chain_size(chain_blocks)

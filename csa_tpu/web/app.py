@@ -15,7 +15,6 @@ Stdlib-only (``http.server``); run with ``python -m csa_tpu.web.app``.
 from __future__ import annotations
 
 import html
-import io
 import os
 import sys
 import time
@@ -96,33 +95,40 @@ def _log_request(addr: str, note: str) -> None:
 
 
 def run_rotation_job(fasta_path: str, minblocksize: int = 10) -> dict:
-    """Run the R-mode pipeline on an uploaded file; returns artifacts."""
+    """Run the R-mode pipeline on an uploaded file; returns artifacts.
+
+    The pipeline runs in a child process killed after ``RUN_TIMEOUT``
+    seconds — the analog of the reference frontend's
+    ``timeout -s 9 1h ./CSA R <file>`` (index.php:353): a wedged or
+    adversarial input can never tie up the server thread indefinitely.
+    """
+    import subprocess
+    import sys as _sys
+
     from ..cli import output_filename
-    from ..io import fasta as fio
-    from ..report import blocks_report
-    from ..rotation import pipeline as rot
 
-    log = io.StringIO()
     t0 = time.time()
-    seqs = fio.load_fasta(fasta_path, log=log)
-    fio.discard_duplicate_rotations(seqs, log=log)
-    if len(seqs) < 2:
-        raise ValueError("Less than 2 valid sequences in file")
-    if len(seqs) > MAX_SEQS:
-        raise ValueError("More than 64 sequences in file")
-    res = rot.analyze(seqs, log=log)
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-m", "csa_tpu.cli", "R", fasta_path,
+             "--min-block-size", str(minblocksize)],
+            capture_output=True,
+            text=True,
+            timeout=RUN_TIMEOUT,
+        )
+    except subprocess.TimeoutExpired:
+        raise ValueError(
+            f"processing exceeded the {int(RUN_TIMEOUT)} s time limit"
+        )
+    log = proc.stdout + (("\n" + proc.stderr) if proc.returncode else "")
+    if proc.returncode != 0:
+        # surface the pipeline's own error line, like the PHP page streams
+        # the CLI's stdout/stderr
+        lines = [ln for ln in log.splitlines() if "ERROR" in ln]
+        raise ValueError(lines[-1] if lines else "rotation pipeline failed")
     rotfile = output_filename(fasta_path, "-Rotated.fasta")
-    fio.save_rotated(seqs, res.rotations, rotfile)
-
-    class _Args:
-        pass
-
-    blocks_report.write_blocks_artifacts(
-        fasta_path, seqs, res, min_block_size=minblocksize,
-        max_block_size=2**31 - 1, log=log,
-    )
     return {
-        "log": log.getvalue(),
+        "log": log,
         "elapsed": time.time() - t0,
         "rotated": rotfile,
         "image": output_filename(fasta_path, "-Blocks.bmp"),

@@ -64,3 +64,18 @@ def test_rotation_parity(fixtures_dir, name):
     for nm, text, rot in zip(seqs.names, seqs.texts, res.rotations):
         key = nm.split()[0]
         assert rotate_text(text, int(rot)) == expected_texts[key]
+
+
+def test_chain_cycle_surfaces_as_rotation_error(fixtures_dir, monkeypatch):
+    """A cycle in the successor links (reference: infinite loop/segfault)
+    must surface as a clean RotationError, not a raw RuntimeError."""
+    from csa_tpu.rotation import chains as chains_mod
+    from csa_tpu.rotation import pipeline as pipeline_mod
+
+    def boom(*a, **k):
+        raise chains_mod.ChainCycleError("synthetic cycle")
+
+    monkeypatch.setattr(chains_mod, "assemble_chains", boom)
+    seqs = load_fasta(str(fixtures_dir / "tiny" / "t1.txt"), log=io.StringIO())
+    with pytest.raises(pipeline_mod.RotationError):
+        analyze(seqs, log=io.StringIO())
