@@ -251,7 +251,19 @@ def delete_gapped_columns(
     strings are code arrays of logical length >= consize (codes 0-4);
     scorevector is (cap, 5) with logical length consize.  Returns the new
     consize; strings and scorevector are modified in place.
+
+    Dispatches to the native host kernel (csa_host.cpp::csa_dgc,
+    bit-identical) unless the SHIFT_TRACE debug hook is armed; the numpy
+    path below is the exactness twin and fallback.
     """
+    if SHIFT_TRACE is None and consize:
+        from .. import native
+
+        res = native.dgc(
+            usableseqs, strings, numseqs, scorevector, consize, maxnongaps
+        )
+        if res is not None:
+            return res
     mingaps = numseqs - maxnongaps
     col = 1
     while col <= consize:

@@ -51,6 +51,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.csa_dgc.restype = ctypes.c_int32
+    lib.csa_dgc.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
@@ -85,6 +90,30 @@ def dp_fill_dirs(
         top.ctypes.data, int(edge_rowgap), dirs.ctypes.data
     )
     return int(score), dirs
+
+
+def dgc(usableseqs, strings, numseqs, scorevector, consize, maxnongaps):
+    """Native DeleteGappedColumns; returns the new consize or None.
+
+    Packs the logical [0, consize) window of the usable rows into one
+    contiguous matrix, runs csa_dgc in place, and copies the results back
+    into the caller's per-sequence arrays and (int64) scorevector.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.empty((numseqs, max(consize, 1)), dtype=np.int8)
+    for t in range(numseqs):
+        packed[t, :consize] = strings[usableseqs[t]][:consize]
+    sv32 = np.ascontiguousarray(scorevector[:consize], dtype=np.int32)
+    new_consize = lib.csa_dgc(
+        packed.ctypes.data, numseqs, packed.shape[1],
+        sv32.ctypes.data, consize, maxnongaps,
+    )
+    for t in range(numseqs):
+        strings[usableseqs[t]][:consize] = packed[t, :consize]
+    scorevector[:consize] = sv32
+    return int(new_consize)
 
 
 def pairwise_nw(a: np.ndarray, b: np.ndarray):

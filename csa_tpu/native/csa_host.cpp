@@ -121,4 +121,215 @@ int32_t csa_pairwise_nw(const int8_t* a, int32_t n, const int8_t* b,
   return prev[m];
 }
 
+// Gap-block shift compaction (reference behavior:
+// dynamicprogramming.c:643-899).  Serial host pass structured after the
+// static/moving count-vector simulation of
+// csa_tpu/align/progressive.py::delete_gapped_columns, which this is a
+// bit-identical transliteration of (the Python version remains the
+// exactness twin and the fallback).
+//
+// strings: (numseqs, stride) int8 row-major, logical width `consize`,
+// rows in DP order; sv: (stride, 5) int32 row-major column counts.
+// Both are modified in place.  Returns the new consize.
+int32_t csa_dgc(int8_t* strings, int32_t numseqs, int64_t stride,
+                int32_t* sv, int32_t consize, int32_t maxnongaps) {
+  const int32_t mingaps = numseqs - maxnongaps;
+  std::vector<int32_t> seqstoshift(numseqs);
+  std::vector<int32_t> postonextgap(numseqs), nposaff(numseqs);
+  std::vector<int32_t> bestnposaff(numseqs);
+  std::vector<int32_t> movingsv, staticsv, bestworking;
+  auto svrow = [&](int32_t c) { return sv + (int64_t)c * 5; };
+
+  int32_t col = 1;
+  while (col <= consize) {
+    if (svrow(col - 1)[GAP] < mingaps) { ++col; continue; }
+    int32_t ntoshift = 0;
+    for (int32_t t = 0; t < numseqs; ++t)
+      if (strings[(int64_t)t * stride + col - 1] != GAP)
+        seqstoshift[ntoshift++] = t;
+    if (ntoshift == 0) { ++col; continue; }
+
+    int64_t bestscore = 0;
+    int32_t bestshift = 0;   // signed: dirsignal * shift
+    int32_t best_maxpos = 0;
+    bool have_best = false;
+    int32_t dirsignal = 1;   // forward pass first, then backward
+    for (;;) {
+      // per shifting row: non-gap run from col, then the gap run after it
+      bool hit_end = false;
+      int32_t postofarthest = 0, minnextgaps = consize;
+      for (int32_t t = 0; t < ntoshift; ++t) {
+        const int8_t* s = strings + (int64_t)seqstoshift[t] * stride;
+        const int32_t wlen = dirsignal > 0 ? consize - (col - 1) : col;
+        int32_t cnt = 0;
+        while (cnt < wlen && s[col - 1 + dirsignal * cnt] != GAP) ++cnt;
+        if (cnt >= wlen) { hit_end = true; break; }
+        int32_t gend = cnt;
+        while (gend < wlen && s[col - 1 + dirsignal * gend] == GAP) ++gend;
+        postonextgap[t] = cnt;
+        if (cnt > postofarthest) postofarthest = cnt;
+        if (gend - cnt < minnextgaps) minnextgaps = gend - cnt;
+      }
+      if (hit_end) {
+        if (dirsignal == -1) break;
+        dirsignal = -1;
+        continue;
+      }
+      const int32_t maxpos = postofarthest + minnextgaps;
+      for (int32_t t = 0; t < ntoshift; ++t)
+        nposaff[t] = postonextgap[t] + minnextgaps;
+
+      // moving = counts of the shifting rows' block chars per window
+      // position; static = remaining rows
+      movingsv.assign((size_t)maxpos * 5, 0);
+      staticsv.assign((size_t)maxpos * 5, 0);
+      for (int32_t j = 0; j < maxpos; ++j) {
+        const int32_t ci = col + dirsignal * j - 1;
+        for (int32_t t = 0; t < ntoshift; ++t)
+          if (j < nposaff[t])
+            ++movingsv[(size_t)j * 5 +
+                       strings[(int64_t)seqstoshift[t] * stride + ci]];
+        for (int32_t a = 0; a < 5; ++a)
+          staticsv[(size_t)j * 5 + a] =
+              svrow(ci)[a] - movingsv[(size_t)j * 5 + a];
+      }
+
+      // score of the moving chars at their current placement
+      int64_t currentscore = 0;
+      for (int32_t j = 0; j < maxpos; ++j) {
+        const int32_t ci = col + dirsignal * j - 1;
+        const int32_t* sc = svrow(ci);
+        const int32_t svg = sc[GAP];
+        const int32_t* mv = movingsv.data() + (size_t)j * 5;
+        for (int32_t a = 0; a < 4; ++a)
+          if (mv[a])
+            currentscore +=
+                (int64_t)mv[a] * (MATCH * (sc[a] - 1) +
+                                  MISMATCH * (numseqs - (sc[a] + svg)) +
+                                  INDEL * svg);
+        if (mv[GAP])
+          currentscore += (int64_t)mv[GAP] *
+                          (DOUBLEGAP * (svg - 1) + INDEL * (numseqs - svg));
+      }
+
+      // simulate shifts 1..minnextgaps, peeling one trailing gap off each
+      // moving block per step
+      std::vector<int32_t> moving_i(movingsv);
+      std::vector<int32_t> nposaff_i(nposaff.begin(), nposaff.begin() + ntoshift);
+      int32_t dir_bestshift = 0;
+      for (int32_t sh = 1; sh <= minnextgaps; ++sh) {
+        for (int32_t t = 0; t < ntoshift; ++t) {
+          --nposaff_i[t];
+          --moving_i[(size_t)nposaff_i[t] * 5 + GAP];
+        }
+        int64_t score = 0;
+        for (int32_t j = 0; j < maxpos; ++j) {
+          if (j < sh) {
+            const int32_t wg = staticsv[(size_t)j * 5 + GAP] + ntoshift;
+            if (wg != numseqs)
+              score += (int64_t)ntoshift *
+                       (DOUBLEGAP * (wg - 1) + INDEL * (numseqs - wg));
+          } else {
+            const int32_t* st = staticsv.data() + (size_t)j * 5;
+            const int32_t* ms = moving_i.data() + (size_t)(j - sh) * 5;
+            const int32_t wg = st[GAP] + ms[GAP];
+            if (wg == numseqs) continue;
+            for (int32_t a = 0; a < 4; ++a)
+              if (ms[a]) {
+                const int32_t w = st[a] + ms[a];
+                score += (int64_t)ms[a] * (MATCH * (w - 1) +
+                                           MISMATCH * (numseqs - (w + wg)) +
+                                           INDEL * wg);
+              }
+            if (ms[GAP])
+              score += (int64_t)ms[GAP] *
+                       (DOUBLEGAP * (wg - 1) + INDEL * (numseqs - wg));
+          }
+        }
+        const int64_t shifted = score - currentscore;
+        if (shifted >= bestscore) {
+          bestshift = dirsignal * sh;
+          bestscore = shifted;
+          dir_bestshift = sh;
+        }
+      }
+      if (bestshift != 0 && bestshift * dirsignal > 0) {
+        // capture apply state: re-add the still-remaining trailing gaps
+        best_maxpos = maxpos;
+        const int32_t sh = dir_bestshift;
+        const int32_t nrem = minnextgaps - sh;
+        std::vector<int32_t> moving_best(moving_i);
+        for (int32_t t = 0; t < ntoshift; ++t) {
+          for (int32_t r = 0; r < nrem; ++r)
+            ++moving_best[(size_t)(postonextgap[t] + r) * 5 + GAP];
+          bestnposaff[t] = postonextgap[t] + sh;
+        }
+        bestworking.assign((size_t)maxpos * 5, 0);
+        for (int32_t j = 0; j < maxpos; ++j) {
+          int32_t* bw = bestworking.data() + (size_t)j * 5;
+          const int32_t* st = staticsv.data() + (size_t)j * 5;
+          if (j < sh) {
+            for (int32_t a = 0; a < 5; ++a) bw[a] = st[a];
+            bw[GAP] += ntoshift;
+          } else {
+            const int32_t* ms = moving_best.data() + (size_t)(j - sh) * 5;
+            for (int32_t a = 0; a < 5; ++a) bw[a] = st[a] + ms[a];
+          }
+        }
+        have_best = true;
+      }
+      if (dirsignal == -1) break;
+      dirsignal = -1;
+    }
+    if (bestshift == 0 || !have_best) { ++col; continue; }
+
+    dirsignal = bestshift < 0 ? -1 : 1;
+    const int32_t sh = bestshift < 0 ? -bestshift : bestshift;
+    // apply the counts
+    for (int32_t j = 0; j < best_maxpos; ++j) {
+      const int32_t ci = col + dirsignal * j - 1;
+      for (int32_t a = 0; a < 5; ++a)
+        svrow(ci)[a] = bestworking[(size_t)j * 5 + a];
+    }
+    // apply the char block moves + gap fills
+    for (int32_t t = 0; t < ntoshift; ++t) {
+      int8_t* s = strings + (int64_t)seqstoshift[t] * stride;
+      const int32_t np = bestnposaff[t];
+      if (dirsignal > 0) {
+        std::memmove(s + col - 1 + sh, s + col - 1, np - sh);
+        std::memset(s + col - 1, GAP, sh);
+      } else {
+        std::memmove(s + col - np, s + col - np + sh, np - sh);
+        std::memset(s + col - sh, GAP, sh);
+      }
+    }
+    // remove the all-gap columns that opened up around col
+    int32_t mrun = 0;
+    for (int32_t j = col; j <= consize && svrow(j - 1)[GAP] == numseqs; ++j)
+      ++mrun;
+    int32_t krun = 0;
+    for (int32_t j = col - 1; j >= 1 && svrow(j - 1)[GAP] == numseqs; --j)
+      ++krun;
+    const int32_t mtot = mrun + krun;
+    const int32_t start = col - krun;  // leftmost empty column, 1-based
+    if (mtot > 0) {
+      const int32_t length = consize - mtot - start + 1;
+      if (length > 0) {
+        std::memmove(svrow(start - 1), svrow(start + mtot - 1),
+                     (size_t)length * 5 * sizeof(int32_t));
+        for (int32_t t = 0; t < numseqs; ++t) {
+          int8_t* s = strings + (int64_t)t * stride;
+          std::memmove(s + start - 1, s + start + mtot - 1, length);
+        }
+      }
+      std::memset(svrow(consize - mtot), 0,
+                  (size_t)mtot * 5 * sizeof(int32_t));
+      consize -= mtot;
+    }
+    col = col - (krun + 1) + 1;  // reference: for-loop increment after
+                                 // `col = col - (k + 1)`
+  }
+  return consize;
+}
+
 }  // extern "C"
