@@ -148,27 +148,11 @@ def dp_fill(
     return int(dp[nrows, ncols]), dirs
 
 
-def backtrack_merge(
-    dirs: np.ndarray,
-    row_codes: np.ndarray,
-    strings: List[Optional[np.ndarray]],
-    scorevector: np.ndarray,
-    ordered: List[int],
-    i: int,
-    n: int,
-):
-    """Backtrack, producing the merged strings + scorevector.
-
-    strings: per-sequence code arrays (gap = 4) of the current consensus
-    (length ncols) for the first i ordered sequences; returns
-    (new_strings, new_scorevector, consensussize).
-    """
-    nrows = len(row_codes)
-    ncols = len(scorevector)
-    # walk the path once, recording per new column the source old column
-    # (-1 for a fresh all-gap column) and the current-sequence row (-1 for
-    # a gap in the current sequence); order is right-to-left like the
-    # reference backtrack
+def _dirs_to_maps(dirs: np.ndarray, nrows: int, ncols: int):
+    """Walk the direction matrix from (nrows, ncols) back to (0, 0),
+    recording per new column the source old column (-1 for a fresh
+    all-gap column) and the current-sequence row (-1 for a gap in the
+    current sequence); returned in forward (left-to-right) order."""
     j, c = nrows, ncols
     old_cols_r: List[int] = []
     row_r: List[int] = []
@@ -197,6 +181,71 @@ def backtrack_merge(
         c -= 1
     old_cols = np.asarray(old_cols_r[::-1], dtype=np.int64)
     rows = np.asarray(row_r[::-1], dtype=np.int64)
+    return old_cols, rows
+
+
+def _path_to_maps(path_codes: np.ndarray):
+    """Same maps from a walk-order direction-code path (device backtrack,
+    :func:`csa_tpu.dp.wavefront.dp_path_device`), vectorized: in forward
+    order, the t-th row-consuming step consumes row (count-1), ditto
+    columns."""
+    codes_f = np.asarray(path_codes[::-1], dtype=np.int64)
+    adv_row = codes_f != D_LEFT
+    adv_col = codes_f != D_UP
+    rows = np.where(adv_row, np.cumsum(adv_row) - 1, -1)
+    old_cols = np.where(adv_col, np.cumsum(adv_col) - 1, -1)
+    return old_cols, rows
+
+
+def backtrack_merge(
+    dirs: np.ndarray,
+    row_codes: np.ndarray,
+    strings: List[Optional[np.ndarray]],
+    scorevector: np.ndarray,
+    ordered: List[int],
+    i: int,
+    n: int,
+):
+    """Backtrack, producing the merged strings + scorevector.
+
+    strings: per-sequence code arrays (gap = 4) of the current consensus
+    (length ncols) for the first i ordered sequences; returns
+    (new_strings, new_scorevector, consensussize).
+    """
+    nrows = len(row_codes)
+    ncols = len(scorevector)
+    old_cols, rows = _dirs_to_maps(dirs, nrows, ncols)
+    return _merge_from_maps(
+        old_cols, rows, row_codes, strings, scorevector, ordered, i, n
+    )
+
+
+def merge_from_path(
+    path_codes: np.ndarray,
+    row_codes: np.ndarray,
+    strings: List[Optional[np.ndarray]],
+    scorevector: np.ndarray,
+    ordered: List[int],
+    i: int,
+    n: int,
+):
+    """backtrack_merge from a device-produced walk-order path."""
+    old_cols, rows = _path_to_maps(path_codes)
+    return _merge_from_maps(
+        old_cols, rows, row_codes, strings, scorevector, ordered, i, n
+    )
+
+
+def _merge_from_maps(
+    old_cols: np.ndarray,
+    rows: np.ndarray,
+    row_codes: np.ndarray,
+    strings: List[Optional[np.ndarray]],
+    scorevector: np.ndarray,
+    ordered: List[int],
+    i: int,
+    n: int,
+):
     consensussize = len(old_cols)
 
     has_old = old_cols >= 0
@@ -500,8 +549,16 @@ def delete_gapped_columns(
     return consize
 
 
+# a device merge only pays off when the matrix amortizes the dispatch;
+# below this cell count the native host kernel wins (measured on the
+# tunneled v5e: dispatch+path transfer ~1-2 ms vs ~0.5 Gcell/s host fill)
+DEVICE_MIN_CELLS = 1 << 21
+
+
 def progressive_dp(
     gap_codes: List[np.ndarray],
+    *,
+    dp_backend: str = "numpy",
 ) -> List[np.ndarray]:
     """Align the per-sequence gap substrings; returns code strings.
 
@@ -509,6 +566,12 @@ def progressive_dp(
     Mirrors ProgressiveDP (dynamicprogramming.c:906-1171): shortest-first
     ordering, NW vs profile, backtrack merge, DeleteGappedColumns after
     each merge from the 3rd sequence on.
+
+    dp_backend "jax" routes merges with >= DEVICE_MIN_CELLS cells to the
+    accelerator (fill + backtrack both on device, only the O(R+C) path
+    transferred); smaller merges stay on the native host kernel.  Both
+    paths produce identical direction decisions, so the output is
+    backend-independent (tests/test_dp_wavefront.py).
     """
     k = len(gap_codes)
     gaplens = np.array([len(g) for g in gap_codes], dtype=np.int64)
@@ -544,17 +607,29 @@ def progressive_dp(
             alloc_top = default_top_row(scorevector[:ncols], i)
             prev_nrows = nrows
         row_codes = np.asarray(gap_codes[n], dtype=np.int64)
-        _, dirs = dp_fill(
-            row_codes, scorevector[:ncols], i,
-            top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
-        )
-        prev_consensussize = ncols
         strings_l = [
             None if s is None else s[:ncols] for s in strings
         ]
-        new_strings, new_sv, consensussize = backtrack_merge(
-            dirs, row_codes, strings_l, scorevector[:ncols], ordered, i, n
-        )
+        if dp_backend == "jax" and nrows * ncols >= DEVICE_MIN_CELLS:
+            from ..dp import wavefront
+
+            path = wavefront.dp_path_device(
+                row_codes, scorevector[:ncols], i,
+                top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
+            )
+            prev_consensussize = ncols
+            new_strings, new_sv, consensussize = merge_from_path(
+                path, row_codes, strings_l, scorevector[:ncols], ordered, i, n
+            )
+        else:
+            _, dirs = dp_fill(
+                row_codes, scorevector[:ncols], i,
+                top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
+            )
+            prev_consensussize = ncols
+            new_strings, new_sv, consensussize = backtrack_merge(
+                dirs, row_codes, strings_l, scorevector[:ncols], ordered, i, n
+            )
         strings = new_strings
         scorevector = new_sv
         if i > 1:

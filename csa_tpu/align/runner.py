@@ -162,7 +162,7 @@ def _progressive_dp_segment(
         start = int(segment.positions[i]) + segment.size
         end = int(segment.next.positions[i])
         gap_codes.append(np.asarray(rotated_codes[i][start:end], dtype=np.int8))
-    strings = progressive.progressive_dp(gap_codes)
+    strings = progressive.progressive_dp(gap_codes, dp_backend=dp_backend)
     segment.alignedstrings = strings
     consize = len(strings[0]) if strings else 0
     print(f"->{consize:>4}]", file=log)

@@ -117,8 +117,8 @@ def main(argv=None) -> int:
                         help="R|A|I|C|S|M (omit for full pipeline)")
     parser.add_argument("input", nargs="?", default=None,
                         help="multi-FASTA file")
-    parser.add_argument("--backend", choices=["numpy", "jax"],
-                        default="jax" if os.environ.get("CSA_TPU_BACKEND") == "jax" else "numpy")
+    parser.add_argument("--backend", choices=["auto", "numpy", "jax", "native"],
+                        default=os.environ.get("CSA_TPU_BACKEND", "auto"))
     parser.add_argument("--min-block-size", type=int, default=10)
     parser.add_argument("--max-block-size", type=int, default=INT_MAX)
     parser.add_argument("--max-interval", type=int, default=INT_MAX)

@@ -56,6 +56,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
     ]
+    lib.csa_rotation_analyze.restype = ctypes.c_int32
+    lib.csa_rotation_analyze.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -114,6 +120,60 @@ def dgc(usableseqs, strings, numseqs, scorevector, consize, maxnongaps):
         strings[usableseqs[t]][:consize] = packed[t, :consize]
     scorevector[:consize] = sv32
     return int(new_consize)
+
+
+class NativeRotationBlocks:
+    """Result of the native rotation block stage (csa_rotation_analyze);
+    field-compatible with :class:`csa_tpu.index.engine.RotationBlocks`."""
+
+    __slots__ = (
+        "start", "end", "depth", "keep_suffix", "unique", "positions",
+        "num_collected",
+    )
+
+
+def rotation_analyze(encoded, max_blocks: int = 8192):
+    """Native host rotation block stage: cyclic suffix array + capped LCP
+    (cyclic Kasai) + lcp-interval block collection + suffix/uniqueness
+    filters, bit-identical to the numpy engine (csa_tpu/index/cyclic.py).
+    Returns a NativeRotationBlocks or None when the library is missing.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    k = len(encoded)
+    offsets = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    codes = np.concatenate(
+        [np.asarray(e, dtype=np.int8) for e in encoded]
+    )
+    while True:
+        counts = np.zeros(4, dtype=np.int32)
+        bstart = np.empty(max_blocks, dtype=np.int32)
+        bend = np.empty(max_blocks, dtype=np.int32)
+        bdepth = np.empty(max_blocks, dtype=np.int32)
+        keep = np.empty(max_blocks, dtype=np.uint8)
+        uniq = np.empty(max_blocks, dtype=np.uint8)
+        positions = np.empty((max_blocks, k), dtype=np.int64)
+        rc = lib.csa_rotation_analyze(
+            codes.ctypes.data, offsets.ctypes.data, k, max_blocks,
+            counts.ctypes.data, bstart.ctypes.data, bend.ctypes.data,
+            bdepth.ctypes.data, keep.ctypes.data, uniq.ctypes.data,
+            positions.ctypes.data,
+        )
+        if rc == 0:
+            break
+        max_blocks = int(rc) + 1024  # needed block count; retry bigger
+    nb = int(counts[1])
+    out = NativeRotationBlocks()
+    out.num_collected = nb
+    out.start = bstart[:nb].astype(np.int64)
+    out.end = bend[:nb].astype(np.int64)
+    out.depth = bdepth[:nb].astype(np.int64)
+    out.keep_suffix = keep[:nb].astype(bool)
+    out.unique = uniq[:nb].astype(bool)
+    out.positions = positions[:nb]
+    return out
 
 
 def pairwise_nw(a: np.ndarray, b: np.ndarray):

@@ -333,3 +333,302 @@ int32_t csa_dgc(int8_t* strings, int32_t numseqs, int64_t stride,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native cyclic suffix-array rotation engine.
+//
+// Small-input latency twin of the device engine (csa_tpu/index/engine.py):
+// the tunneled accelerator's per-op launch latency dominates below ~1 Mbp
+// total (measured ~350 ms for the fused device program on the 280k-entry
+// Primates set vs ~25 ms here), so the rotation pipeline routes small sets
+// here and large sets to the device.  Semantics are an exact mirror of the
+// numpy engine (csa_tpu/index/cyclic.py — itself the re-derivation of the
+// reference's gencycsuffixtrees.c + csamsa.c:69-257 contract):
+//
+//   * prefix-doubling rank sort over all rotations, periodic comparison,
+//     ties by (seq, pos); LSD radix sorts with 16-bit digits;
+//   * within-sequence duplicate rotations collapse to the smallest pos;
+//   * adjacent LCP capped at min(seq lengths) via cyclic Kasai
+//     (h-decrement invariant holds for periodic strings; see notes inline);
+//   * lcp-interval tree traversal (stack sweep) with per-interval
+//     sequence bitmasks -> "deepest all-sequences" blocks
+//     (= collectNodes, csamsa.c:69-81);
+//   * suffix-containment filter via inverse-SA membership
+//     (= removeSuffixNodes, csamsa.c:85-109);
+//   * per-sequence uniqueness + first-occurrence positions
+//     (= removeNonUniqueNodes + collectPositions, csamsa.c:114-257).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Stable LSD counting sort of idx by key16 = (key[idx] >> shift) & 0xffff.
+// tmp must have the same size as idx (they are swapped).
+void radix_pass(const int32_t* key, int shift, std::vector<int32_t>& idx,
+                std::vector<int32_t>& tmp, std::vector<int32_t>& hist) {
+  hist.assign(65536 + 1, 0);
+  const size_t n = idx.size();
+  for (size_t i = 0; i < n; ++i)
+    ++hist[((static_cast<uint32_t>(key[idx[i]]) >> shift) & 0xffffu) + 1];
+  for (int d = 0; d < 65536; ++d) hist[d + 1] += hist[d];
+  for (size_t i = 0; i < n; ++i) {
+    const uint32_t d = (static_cast<uint32_t>(key[idx[i]]) >> shift) & 0xffffu;
+    tmp[hist[d]++] = idx[i];
+  }
+  idx.swap(tmp);
+}
+
+// Sort idx stably by (k1[g], k2[g]); keys are non-negative int32.
+void radix_sort_pairs(const int32_t* k1, const int32_t* k2, int32_t maxval,
+                      std::vector<int32_t>& idx, std::vector<int32_t>& hist) {
+  std::vector<int32_t> tmp(idx.size());
+  const bool wide = maxval >= (1 << 16);
+  radix_pass(k2, 0, idx, tmp, hist);
+  if (wide) radix_pass(k2, 16, idx, tmp, hist);
+  radix_pass(k1, 0, idx, tmp, hist);
+  if (wide) radix_pass(k1, 16, idx, tmp, hist);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Cyclic suffix-array rotation analysis.  codes: concatenated per-sequence
+// normalized codes (values in [0, 5)); offsets: k+1 int64 sequence starts.
+// Outputs (buffers sized by the caller):
+//   counts[0..3] = M (deduped entries), collected, after-suffix, after-unique
+//   bstart/bend/bdepth/keep_suffix/uniq: per collected block (max_blocks)
+//   positions: max_blocks * k first-occurrence start positions
+// Returns 0, or the needed block count if max_blocks was too small.
+int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
+                             int32_t k, int32_t max_blocks, int32_t* counts,
+                             int32_t* bstart, int32_t* bend, int32_t* bdepth,
+                             uint8_t* keep_suffix, uint8_t* uniq,
+                             int64_t* positions) {
+  const int64_t N64 = offsets[k];
+  const int32_t N = static_cast<int32_t>(N64);
+  std::vector<int32_t> seq_of(N), pos_of(N), n_of(N);
+  int32_t max_n = 0;
+  for (int32_t s = 0; s < k; ++s) {
+    const int32_t n = static_cast<int32_t>(offsets[s + 1] - offsets[s]);
+    if (n > max_n) max_n = n;
+    for (int32_t p = 0; p < n; ++p) {
+      const int32_t g = static_cast<int32_t>(offsets[s]) + p;
+      seq_of[g] = s;
+      pos_of[g] = p;
+      n_of[g] = n;
+    }
+  }
+  auto advance = [&](int32_t g, int32_t off) -> int32_t {
+    const int32_t n = n_of[g];
+    int32_t p = pos_of[g] + off % n;
+    if (p >= n) p -= n;
+    return g - pos_of[g] + p;
+  };
+
+  // ---- prefix-doubling ranks (early exit when all distinct) ----
+  std::vector<int32_t> rank(N), rank2(N), idx(N), tmp(N), hist;
+  for (int32_t g = 0; g < N; ++g) rank[g] = codes[g];
+  for (int32_t g = 0; g < N; ++g) idx[g] = g;
+  radix_pass(rank.data(), 0, idx, tmp, hist);  // initial order by char
+  int32_t ngroups = 1;
+  for (int32_t i = 1; i < N; ++i)
+    if (rank[idx[i]] != rank[idx[i - 1]]) ++ngroups;
+  int32_t window = 1;
+  while (window < max_n && ngroups < N) {
+    for (int32_t g = 0; g < N; ++g) rank2[g] = rank[advance(g, window)];
+    for (int32_t g = 0; g < N; ++g) idx[g] = g;
+    radix_sort_pairs(rank.data(), rank2.data(), ngroups, idx, hist);
+    // dense re-rank in sorted order
+    int32_t r = 0;
+    int32_t prev1 = rank[idx[0]], prev2 = rank2[idx[0]];
+    std::vector<int32_t> newrank(N);
+    for (int32_t i = 0; i < N; ++i) {
+      const int32_t g = idx[i];
+      if (rank[g] != prev1 || rank2[g] != prev2) {
+        ++r;
+        prev1 = rank[g];
+        prev2 = rank2[g];
+      }
+      newrank[g] = r;
+    }
+    rank.swap(newrank);
+    ngroups = r + 1;
+    window <<= 1;
+  }
+
+  // ---- final order: idx is sorted stably by the last level's rank pair
+  // with ties in g = (seq, pos) construction order — exactly the numpy
+  // engine's lexsort((pos, seq, final_rank)) (cyclic.py:197) ----
+  std::vector<int32_t>& sa_full = idx;
+
+  // ---- dedup within-sequence identical rotations (keep smallest pos) ----
+  std::vector<int32_t> sa;
+  sa.reserve(N);
+  std::vector<int32_t> kept_prefix(N);  // # kept entries among sa_full[0..i]
+  for (int32_t i = 0; i < N; ++i) {
+    const int32_t g = sa_full[i];
+    const bool dup = i > 0 && rank[g] == rank[sa_full[i - 1]] &&
+                     seq_of[g] == seq_of[sa_full[i - 1]];
+    if (!dup) sa.push_back(g);
+    kept_prefix[i] = static_cast<int32_t>(sa.size()) - 1;
+  }
+  const int32_t M = static_cast<int32_t>(sa.size());
+  counts[0] = M;
+  std::vector<int32_t> inv_full(N);  // g -> sorted position in sa_full
+  for (int32_t i = 0; i < N; ++i) inv_full[sa_full[i]] = i;
+  std::vector<int32_t> inv(N, -1);  // g -> deduped position (kept only)
+  for (int32_t i = 0; i < M; ++i) inv[sa[i]] = i;
+
+  // ---- capped LCP via cyclic Kasai ----
+  // h-invariant: lcp of the 1-advanced pair >= h-1 holds for periodic
+  // strings; the length cap only shrinks targets, and h is clamped to the
+  // pair cap before extension, so h always lower-bounds the true value.
+  std::vector<int32_t> lcp(M, 0);
+  for (int32_t s = 0; s < k; ++s) {
+    const int32_t base = static_cast<int32_t>(offsets[s]);
+    const int32_t n = n_of[base];
+    int32_t h = 0;
+    for (int32_t p = 0; p < n; ++p) {
+      const int32_t g = base + p;
+      const int32_t i = inv[g];
+      if (i > 0) {
+        const int32_t y = sa[i - 1];
+        const int32_t cap = n < n_of[y] ? n : n_of[y];
+        if (h > cap) h = cap;
+        while (h < cap && codes[advance(g, h)] == codes[advance(y, h)]) ++h;
+        lcp[i] = h;
+      } else if (i == 0) {
+        h = 0;
+      }
+      if (h > 0) --h;
+    }
+  }
+
+  // ---- lcp-interval tree sweep: deepest all-sequences blocks ----
+  // Mirrors cyclic.collect_blocks (PSV/NSV interval dedupe + direct-parent
+  // all-seq child marking) via the standard stack traversal; with k <= 64
+  // coverage is a bitmask OR.  Collected intervals are pairwise disjoint
+  // (any nested all-seq pair marks the parent chain), so the later
+  // per-member passes are O(M) total.
+  struct Node {
+    int32_t depth, start;
+    uint64_t mask;
+    bool allseq_child;
+  };
+  const uint64_t full_mask =
+      k == 64 ? ~0ull : ((1ull << k) - 1ull);
+  std::vector<Node> stack;
+  stack.push_back({0, 0, 0, false});
+  std::vector<int32_t> cs, ce, cd;  // collected intervals
+  auto emit = [&](const Node& nd, int32_t end) {
+    if (nd.depth >= 1 && nd.mask == full_mask && !nd.allseq_child) {
+      cs.push_back(nd.start);
+      ce.push_back(end);
+      cd.push_back(nd.depth);
+    }
+  };
+  for (int32_t i = 1; i <= M; ++i) {
+    const int32_t d = i < M ? lcp[i] : 0;
+    int32_t start = i - 1;
+    uint64_t carry = 1ull << seq_of[sa[i - 1]];
+    bool carry_allseq = false;
+    while (stack.back().depth > d) {
+      Node nd = stack.back();
+      stack.pop_back();
+      nd.mask |= carry;
+      nd.allseq_child |= carry_allseq;
+      emit(nd, i - 1);
+      carry = nd.mask;
+      carry_allseq = nd.mask == full_mask;
+      start = nd.start;
+    }
+    if (stack.back().depth == d) {
+      stack.back().mask |= carry;
+      stack.back().allseq_child |= carry_allseq;
+    } else if (d >= 1) {
+      stack.push_back({d, start, carry, carry_allseq});
+    } else {
+      stack[0].mask |= carry;
+    }
+  }
+  const int32_t nb = static_cast<int32_t>(cs.size());
+  counts[1] = nb;
+  if (nb > max_blocks) return nb;
+
+  // order blocks by (start, end) like the numpy dedupe's lexsort — the
+  // stack pops them in (end, start-descending-ish) order
+  std::vector<int32_t> border(nb);
+  for (int32_t b = 0; b < nb; ++b) border[b] = b;
+  radix_sort_pairs(ce.data(), cs.data(), M, border, hist);
+  // radix_sort_pairs sorts by (ce, cs); disjoint intervals make (start) and
+  // (end) orders identical, so this equals the (start, end) lexsort.
+  for (int32_t b = 0; b < nb; ++b) {
+    bstart[b] = cs[border[b]];
+    bend[b] = ce[border[b]];
+    bdepth[b] = cd[border[b]];
+  }
+
+  // ---- suffix-containment filter (removeSuffixNodes semantics) ----
+  // Block i (depth ds) is dropped iff some strictly deeper block j has
+  // block i's string as its length-ds suffix: the suffix's start rotation
+  // q = advance(rep_j, d_j - ds) sorts inside block i's interval (blocks
+  // of equal depth have disjoint intervals -> binary search by start).
+  std::vector<int32_t> by_depth(nb);
+  for (int32_t b = 0; b < nb; ++b) by_depth[b] = b;
+  std::vector<int32_t> zero(nb, 0);
+  radix_sort_pairs(bdepth, zero.data(), max_n, by_depth, hist);
+  std::vector<int32_t> distinct;  // distinct depths ascending
+  for (int32_t t = 0; t < nb; ++t)
+    if (t == 0 || bdepth[by_depth[t]] != bdepth[by_depth[t - 1]])
+      distinct.push_back(bdepth[by_depth[t]]);
+  for (int32_t b = 0; b < nb; ++b) keep_suffix[b] = 1;
+  // per distinct depth: sorted (start, block) table
+  for (int32_t ds : distinct) {
+    std::vector<std::pair<int32_t, int32_t>> owners;
+    for (int32_t b = 0; b < nb; ++b)
+      if (bdepth[b] == ds) owners.emplace_back(bstart[b], b);
+    // bstart is ascending in b already, owners sorted
+    for (int32_t j = 0; j < nb; ++j) {
+      if (bdepth[j] <= ds) continue;
+      const int32_t rep = sa[bstart[j]];
+      const int32_t q = advance(rep, bdepth[j] - ds);
+      const int32_t qpos = kept_prefix[inv_full[q]];
+      // find owner with largest start <= qpos
+      int32_t lo = 0, hi = static_cast<int32_t>(owners.size());
+      while (lo < hi) {
+        const int32_t mid = (lo + hi) / 2;
+        if (owners[mid].first <= qpos) lo = mid + 1;
+        else hi = mid;
+      }
+      if (lo > 0) {
+        const int32_t b = owners[lo - 1].second;
+        if (bend[b] >= qpos) keep_suffix[b] = 0;
+      }
+    }
+  }
+  int32_t after_suffix = 0;
+  for (int32_t b = 0; b < nb; ++b) after_suffix += keep_suffix[b];
+  counts[2] = after_suffix;
+
+  // ---- uniqueness + first-occurrence positions ----
+  int32_t after_unique = 0;
+  std::vector<int32_t> cnt(k);
+  for (int32_t b = 0; b < nb; ++b) {
+    for (int32_t s = 0; s < k; ++s) cnt[s] = 0;
+    for (int32_t i = bstart[b]; i <= bend[b]; ++i) {
+      const int32_t g = sa[i];
+      const int32_t s = seq_of[g];
+      if (cnt[s] == 0) positions[static_cast<int64_t>(b) * k + s] = pos_of[g];
+      ++cnt[s];
+    }
+    uint8_t u = 1;
+    for (int32_t s = 0; s < k; ++s)
+      if (cnt[s] != 1) { u = 0; break; }
+    uniq[b] = u;
+    if (u && keep_suffix[b]) ++after_unique;
+  }
+  counts[3] = after_unique;
+  return 0;
+}
+
+}  // extern "C"

@@ -59,9 +59,26 @@ def analyze(
     sizes = seqs.sizes
     encoded = seqs.encoded_all()
 
+    if backend == "auto":
+        # native host engine wins the latency-bound small regime; the
+        # device engine owns Mbp-scale inputs (see docs/PERFORMANCE.md)
+        from .. import native
+
+        total = int(np.sum(sizes))
+        if native.available() and total < 2_000_000:
+            backend = "native"
+        else:
+            backend = "jax"
+
     fused = None
     index = None
-    if backend == "jax":
+    if backend == "native":
+        from .. import native
+
+        fused = native.rotation_analyze(encoded)
+        if fused is None:  # no toolchain: numpy twin
+            backend = "numpy"
+    elif backend == "jax":
         from ..index import engine as jax_engine
 
         fused = jax_engine.rotation_blocks_jax(encoded)

@@ -54,3 +54,39 @@ def test_native_matches_numpy_fallback():
         native.dp_fill_dirs = saved
     assert s_nat == s_np
     assert np.array_equal(d_nat, d_np)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_device_path_matches_host_walk(trial):
+    """Fused fill+backtrack on device == host dirs walk (maps identical)."""
+    rng = np.random.default_rng(100 + trial)
+    R = int(rng.integers(1, 90))
+    C = int(rng.integers(1, 90))
+    i = int(rng.integers(1, 12))
+    codes = rng.integers(0, 4, size=R).astype(np.int64)
+    sv = _random_profile(rng, C, i)
+    top = progressive.default_top_row(sv, i)
+    erg = progressive.INDEL * i
+    _, dirs = progressive.dp_fill(codes, sv, i, top_row=top, edge_rowgap=erg)
+    oc_h, r_h = progressive._dirs_to_maps(dirs, R, C)
+    path = wavefront.dp_path_device(codes, sv, i, top_row=top, edge_rowgap=erg)
+    oc_d, r_d = progressive._path_to_maps(path)
+    assert np.array_equal(oc_h, oc_d)
+    assert np.array_equal(r_h, r_d)
+
+
+def test_progressive_dp_backend_jax_identical():
+    """progressive_dp with device merges == numpy path, end to end."""
+    rng = np.random.default_rng(42)
+    gaps = [
+        rng.integers(0, 4, size=int(rng.integers(10, 120))).astype(np.int8)
+        for _ in range(5)
+    ]
+    a = progressive.progressive_dp([g.copy() for g in gaps], dp_backend="numpy")
+    saved = progressive.DEVICE_MIN_CELLS
+    try:
+        progressive.DEVICE_MIN_CELLS = 1  # force every merge onto the device
+        b = progressive.progressive_dp([g.copy() for g in gaps], dp_backend="jax")
+    finally:
+        progressive.DEVICE_MIN_CELLS = saved
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
