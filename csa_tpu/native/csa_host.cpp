@@ -10,7 +10,11 @@
 //
 // Build: make -C csa_tpu/native   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -404,6 +408,15 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
                              int32_t* bstart, int32_t* bend, int32_t* bdepth,
                              uint8_t* keep_suffix, uint8_t* uniq,
                              int64_t* positions) {
+  const bool prof = std::getenv("CSA_NATIVE_PROFILE") != nullptr;
+  auto t_last = std::chrono::steady_clock::now();
+  auto mark = [&](const char* what) {
+    if (!prof) return;
+    const auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[native] %-12s %7.3f ms\n", what,
+                 std::chrono::duration<double, std::milli>(now - t_last).count());
+    t_last = now;
+  };
   const int64_t N64 = offsets[k];
   const int32_t N = static_cast<int32_t>(N64);
   std::vector<int32_t> seq_of(N), pos_of(N), n_of(N);
@@ -425,39 +438,95 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
     return g - pos_of[g] + p;
   };
 
-  // ---- prefix-doubling ranks (early exit when all distinct) ----
-  std::vector<int32_t> rank(N), rank2(N), idx(N), tmp(N), hist;
-  for (int32_t g = 0; g < N; ++g) rank[g] = codes[g];
-  for (int32_t g = 0; g < N; ++g) idx[g] = g;
-  radix_pass(rank.data(), 0, idx, tmp, hist);  // initial order by char
-  int32_t ngroups = 1;
-  for (int32_t i = 1; i < N; ++i)
-    if (rank[idx[i]] != rank[idx[i - 1]]) ++ngroups;
-  int32_t window = 1;
-  while (window < max_n && ngroups < N) {
-    for (int32_t g = 0; g < N; ++g) rank2[g] = rank[advance(g, window)];
-    for (int32_t g = 0; g < N; ++g) idx[g] = g;
-    radix_sort_pairs(rank.data(), rank2.data(), ngroups, idx, hist);
-    // dense re-rank in sorted order
-    int32_t r = 0;
-    int32_t prev1 = rank[idx[0]], prev2 = rank2[idx[0]];
-    std::vector<int32_t> newrank(N);
-    for (int32_t i = 0; i < N; ++i) {
-      const int32_t g = idx[i];
-      if (rank[g] != prev1 || rank2[g] != prev2) {
-        ++r;
-        prev1 = rank[g];
-        prev2 = rank2[g];
+  // ---- suffix ranks: packed 12-mer base + tied-run-only refinement ----
+  // The initial rank packs 12 cyclic chars base-5 (5^12 < 2^31), resolving
+  // the overwhelming majority of comparisons in ONE radix sort; doubling
+  // then refines only the still-tied runs (Larsson–Sadakane-style), whose
+  // total size decays geometrically on genomic data.  Ranks use the
+  // group-start-position convention (order- and equality-correct, which is
+  // all the downstream comparisons need).
+  mark("setup");
+  constexpr int32_t PACK_W = 12;
+  std::vector<int32_t> key(N);
+  {
+    std::vector<int8_t> dbl;
+    for (int32_t s = 0; s < k; ++s) {
+      const int32_t base = static_cast<int32_t>(offsets[s]);
+      const int32_t n = n_of[base];
+      dbl.assign(static_cast<size_t>(n) + PACK_W, 0);
+      for (int32_t p = 0; p < n + PACK_W; ++p) dbl[p] = codes[base + p % n];
+      // rolling base-5 pack over the doubled buffer, high char first
+      int64_t acc = 0;
+      int64_t top = 1;  // 5^(PACK_W-1)
+      for (int32_t t = 1; t < PACK_W; ++t) top *= 5;
+      for (int32_t t = 0; t < PACK_W; ++t) acc = acc * 5 + dbl[t];
+      key[base] = static_cast<int32_t>(acc);
+      for (int32_t p = 1; p < n; ++p) {
+        acc = (acc - dbl[p - 1] * top) * 5 + dbl[p + PACK_W - 1];
+        key[base + p] = static_cast<int32_t>(acc);
       }
-      newrank[g] = r;
     }
-    rank.swap(newrank);
-    ngroups = r + 1;
+  }
+  mark("keys");
+  std::vector<int32_t> rank(N), idx(N), tmp(N), hist;
+  for (int32_t g = 0; g < N; ++g) idx[g] = g;
+  radix_pass(key.data(), 0, idx, tmp, hist);
+  radix_pass(key.data(), 16, idx, tmp, hist);
+  // group-start ranks + initial tied runs
+  std::vector<int32_t> run_lo, run_hi;  // tied runs [lo, hi] in sa positions
+  {
+    int32_t gs = 0;
+    for (int32_t i = 1; i <= N; ++i) {
+      if (i == N || key[idx[i]] != key[idx[gs]]) {
+        for (int32_t j = gs; j < i; ++j) rank[idx[j]] = gs;
+        if (i - gs > 1) { run_lo.push_back(gs); run_hi.push_back(i - 1); }
+        gs = i;
+      }
+    }
+  }
+  mark("base-sort");
+  int32_t window = PACK_W;
+  std::vector<std::pair<int32_t, int32_t>> run_buf;  // (ek2, slot-in-run)
+  std::vector<int32_t> run_g, new_lo, new_hi;
+  while (window < max_n && !run_lo.empty()) {
+    new_lo.clear();
+    new_hi.clear();
+    for (size_t r = 0; r < run_lo.size(); ++r) {
+      const int32_t lo = run_lo[r], hi = run_hi[r];
+      const int32_t L = hi - lo + 1;
+      // within a tied run ek1 == rank[g] == lo for every member, so only
+      // the window-advanced rank orders it; sorting (ek2, slot) pairs is
+      // stable because slot is unique and ascending
+      run_buf.resize(L);
+      run_g.resize(L);
+      for (int32_t e = 0; e < L; ++e) {
+        const int32_t g = idx[lo + e];
+        run_g[e] = g;
+        run_buf[e] = {rank[advance(g, window)], e};
+      }
+      std::sort(run_buf.begin(), run_buf.end());
+      for (int32_t e = 0; e < L; ++e) idx[lo + e] = run_g[run_buf[e].second];
+      // re-rank within refined groups; collect still-tied sub-runs
+      int32_t e0 = 0;
+      for (int32_t e = 1; e <= L; ++e) {
+        if (e == L || run_buf[e].first != run_buf[e0].first) {
+          for (int32_t j = e0; j < e; ++j) rank[idx[lo + j]] = lo + e0;
+          if (e - e0 > 1) {
+            new_lo.push_back(lo + e0);
+            new_hi.push_back(lo + e - 1);
+          }
+          e0 = e;
+        }
+      }
+    }
+    run_lo.swap(new_lo);
+    run_hi.swap(new_hi);
     window <<= 1;
   }
+  mark("refine");
 
-  // ---- final order: idx is sorted stably by the last level's rank pair
-  // with ties in g = (seq, pos) construction order — exactly the numpy
+  // ---- final order: ties within groups stayed in g = (seq, pos)
+  // construction order through the stable sorts — exactly the numpy
   // engine's lexsort((pos, seq, final_rank)) (cyclic.py:197) ----
   std::vector<int32_t>& sa_full = idx;
 
@@ -479,10 +548,23 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
   std::vector<int32_t> inv(N, -1);  // g -> deduped position (kept only)
   for (int32_t i = 0; i < M; ++i) inv[sa[i]] = i;
 
+  mark("dedup");
   // ---- capped LCP via cyclic Kasai ----
   // h-invariant: lcp of the 1-advanced pair >= h-1 holds for periodic
   // strings; the length cap only shrinks targets, and h is clamped to the
   // pair cap before extension, so h always lower-bounds the true value.
+  // Comparison runs wrap-free over a doubled-codes buffer (each sequence
+  // written twice back-to-back, 8 bytes at a time), so no modulo per char.
+  std::vector<int8_t> dbl2(static_cast<size_t>(2) * N + 8, 0);
+  for (int32_t s = 0; s < k; ++s) {
+    const int32_t base = static_cast<int32_t>(offsets[s]);
+    const int32_t n = n_of[base];
+    std::memcpy(dbl2.data() + 2 * base, codes + base, n);
+    std::memcpy(dbl2.data() + 2 * base + n, codes + base, n);
+  }
+  auto dptr = [&](int32_t g) -> const int8_t* {
+    return dbl2.data() + 2 * (g - pos_of[g]) + pos_of[g];
+  };
   std::vector<int32_t> lcp(M, 0);
   for (int32_t s = 0; s < k; ++s) {
     const int32_t base = static_cast<int32_t>(offsets[s]);
@@ -495,7 +577,20 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
         const int32_t y = sa[i - 1];
         const int32_t cap = n < n_of[y] ? n : n_of[y];
         if (h > cap) h = cap;
-        while (h < cap && codes[advance(g, h)] == codes[advance(y, h)]) ++h;
+        const int8_t* a = dptr(g);
+        const int8_t* b = dptr(y);
+        while (h + 8 <= cap) {
+          uint64_t wa, wb;
+          std::memcpy(&wa, a + h, 8);
+          std::memcpy(&wb, b + h, 8);
+          if (wa != wb) {
+            h += __builtin_ctzll(wa ^ wb) >> 3;
+            goto done;
+          }
+          h += 8;
+        }
+        while (h < cap && a[h] == b[h]) ++h;
+      done:
         lcp[i] = h;
       } else if (i == 0) {
         h = 0;
@@ -504,6 +599,7 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
     }
   }
 
+  mark("kasai");
   // ---- lcp-interval tree sweep: deepest all-sequences blocks ----
   // Mirrors cyclic.collect_blocks (PSV/NSV interval dedupe + direct-parent
   // all-seq child marking) via the standard stack traversal; with k <= 64
@@ -551,6 +647,7 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
       stack[0].mask |= carry;
     }
   }
+  mark("sweep");
   const int32_t nb = static_cast<int32_t>(cs.size());
   counts[1] = nb;
   if (nb > max_blocks) return nb;
@@ -610,6 +707,7 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
   for (int32_t b = 0; b < nb; ++b) after_suffix += keep_suffix[b];
   counts[2] = after_suffix;
 
+  mark("suffix");
   // ---- uniqueness + first-occurrence positions ----
   int32_t after_unique = 0;
   std::vector<int32_t> cnt(k);
@@ -627,6 +725,7 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
     uniq[b] = u;
     if (u && keep_suffix[b]) ++after_unique;
   }
+  mark("unique");
   counts[3] = after_unique;
   return 0;
 }
