@@ -14,7 +14,7 @@ S         Sum-of-pairs score + stats of an alignment
 M         Convert aligned FASTA -> MSF
 ========  ==========================================================
 
-Extra (new in this framework): ``--backend {numpy,jax,sharded}``,
+Extra (new in this framework): ``--backend {auto,numpy,jax,native,sharded}``,
 ``--profile``, ``--min-block-size``, ``--max-interval``.
 """
 
@@ -117,7 +117,8 @@ def main(argv=None) -> int:
                         help="R|A|I|C|S|M (omit for full pipeline)")
     parser.add_argument("input", nargs="?", default=None,
                         help="multi-FASTA file")
-    parser.add_argument("--backend", choices=["auto", "numpy", "jax", "native"],
+    parser.add_argument("--backend",
+                        choices=["auto", "numpy", "jax", "native", "sharded"],
                         default=os.environ.get("CSA_TPU_BACKEND", "auto"))
     parser.add_argument("--min-block-size", type=int, default=10)
     parser.add_argument("--max-block-size", type=int, default=INT_MAX)

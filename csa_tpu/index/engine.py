@@ -300,30 +300,8 @@ def collect_blocks_jax(
 MAX_DEPTH_SLOTS = 512  # static bound on distinct block depths (escalated)
 
 
-def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, cap: int, slots: int = MAX_DEPTH_SLOTS):
-    """Index + collect + suffix-filter + uniqueness + positions, fused.
-
-    One device program covering the whole block stage of the reference
-    rotation phase (csamsa.c:271-308: collectNodes, removeSuffixNodes,
-    removeNonUniqueNodes + collectPositions), returning ONE packed int32
-    vector so the host pays a single device round trip (the tunneled-chip
-    transfer latency dominates wall time otherwise).
-
-    Packed layout: [dup, nb,
-                    bstart (cap), bend (cap), bdepth (cap),
-                    keep_suffix (cap), unique (cap),
-                    positions (cap*k, row-major block-major)].
-    ``nb`` may exceed ``cap``; the host must re-run with a larger cap then.
-    """
-    n_total = k * n_max
-    rank_stack, sa, lcp, raw, dup = device_index_program(
-        codes, lengths, k=k, n_max=n_max, levels=levels
-    )
-    collected, start, end, pos_sorted, seq_sorted = collect_program(
-        sa, lcp, lengths, k=k, n_max=n_max, levels=levels
-    )
-
-    # ---- compact collected blocks to a static cap ----
+def compact_blocks_program(collected, start, end, lcp, *, cap: int):
+    """Compact the collected-block mask to a static ``cap``-sized table."""
     nb = jnp.sum(collected).astype(jnp.int32)
     (bidx,) = jnp.nonzero(collected, size=cap, fill_value=0)
     bidx = bidx.astype(jnp.int32)
@@ -331,15 +309,23 @@ def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, ca
     bstart = jnp.where(valid, start[bidx], 0)
     bend = jnp.where(valid, end[bidx], 0)
     bdepth = jnp.where(valid, lcp[bidx], 1)  # >=1 keeps log2 well-defined
+    return nb, valid, bstart, bend, bdepth
 
-    def adv(gg, off):
-        s = gg // n_max
-        p = gg % n_max
-        nn = jnp.maximum(lengths[s], 1)
-        return s * n_max + (p + off) % nn
 
-    # ---- per-sequence member table: M[s] = ascending sorted-order indices
-    # of sequence s's (real) members, padded with n_total ----
+def member_tables_program(sa, lengths, *, k: int, n_max: int):
+    """Per-sequence member tables for occurrence queries.
+
+    ``M[s]`` holds, in ascending order, the sorted-order indices of
+    sequence ``s``'s real rotation entries (padded with ``n_total``);
+    ``Mpos[s]`` holds the rotation start position of each such entry
+    (pad slots hold 0).  Both tables are row-shardable over the "seq"
+    mesh axis: a shard can answer occurrence-count / first-position
+    queries for its own sequences locally (the sharded chain merge
+    in :mod:`csa_tpu.parallel.sharded` relies on this).
+    """
+    n_total = k * n_max
+    seq_sorted = (sa // n_max).astype(jnp.int32)
+    pos_sorted = (sa % n_max).astype(jnp.int32)
     member_valid = pos_sorted < lengths[seq_sorted]
     seq_key = jnp.where(member_valid, seq_sorted, jnp.int32(k))
     ord2 = jnp.argsort(seq_key, stable=True).astype(jnp.int32)
@@ -361,26 +347,51 @@ def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, ca
         .set(ord2)[:n_total]
         .reshape(k, n_max)
     )
+    pos_ext = jnp.concatenate([pos_sorted, jnp.zeros(1, jnp.int32)])
+    Mpos = pos_ext[M]
+    return M, Mpos
 
-    # ---- uniqueness counts + first-occurrence positions (cap, k) ----
-    q_lo = jnp.broadcast_to(bstart, (k, cap))
-    q_hi = jnp.broadcast_to(bend + 1, (k, cap))
+
+def uniqueness_counts(M, Mpos, bstart, bend):
+    """Occurrence counts + first positions per (sequence-row, block).
+
+    ``M``/``Mpos`` may be a row shard of the full member tables; returns
+    ``cnts (rows, cap)`` and ``first_pos (rows, cap)``.
+    """
+    rows, n_max = M.shape
+    cap = bstart.shape[0]
+    q_lo = jnp.broadcast_to(bstart, (rows, cap))
+    q_hi = jnp.broadcast_to(bend + 1, (rows, cap))
     lo = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="left"))(M, q_lo)
     hi = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="left"))(M, q_hi)
-    cnts = hi - lo  # (k, cap)
-    unique = jnp.all(cnts == 1, axis=0) & valid
-    first_i = M[jnp.arange(k)[:, None], jnp.minimum(lo, n_max - 1)]
-    first_i = jnp.minimum(first_i, n_total - 1)
-    positions = pos_sorted[first_i].T  # (cap, k)
+    cnts = hi - lo  # (rows, cap)
+    first_pos = Mpos[jnp.arange(rows)[:, None], jnp.minimum(lo, n_max - 1)]
+    return cnts, first_pos
 
-    # ---- suffix-containment filter (removeSuffixNodes semantics):
-    # drop block i iff some strictly deeper block j has block i's string as
-    # its length-depth[i] suffix.  Exact via the suffix array itself: the
-    # length-d suffix of block j starts at rotation q = adv(rep_j, d_j - d);
-    # block i (depth d) contains that string iff q's sorted position lies in
-    # i's lcp-interval [bstart_i, bend_i].  Blocks of equal depth have
-    # disjoint intervals, so a (depth-slot, sorted-position) join decides
-    # membership with one search per block instead of a cap^2 matrix. ----
+
+def suffix_filter_program(
+    sa, lcp, lengths, valid, bstart, bend, bdepth, *, k: int, n_max: int, cap: int, slots: int
+):
+    """Suffix-containment filter (removeSuffixNodes semantics).
+
+    Drop block i iff some strictly deeper block j has block i's string as
+    its length-depth[i] suffix.  Exact via the suffix array itself: the
+    length-d suffix of block j starts at rotation q = adv(rep_j, d_j - d);
+    block i (depth d) contains that string iff q's sorted position lies in
+    i's lcp-interval [bstart_i, bend_i].  Blocks of equal depth have
+    disjoint intervals, so a (depth-slot, sorted-position) join decides
+    membership with one search per block instead of a cap^2 matrix.
+
+    Returns (keep_suffix (cap,) bool, num_distinct ()).
+    """
+    n_total = k * n_max
+
+    def adv(gg, off):
+        s = gg // n_max
+        p = gg % n_max
+        nn = jnp.maximum(lengths[s], 1)
+        return s * n_max + (p + off) % nn
+
     BIG = jnp.int32(1 << 30)
     nslots = cap if cap < slots else slots
     uniqd = jnp.unique(
@@ -427,6 +438,41 @@ def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, ca
 
     cnt_in = seg_lower_bound(bend + 1) - seg_lower_bound(bstart)
     keep_suffix = valid & (cnt_in == 0)
+    return keep_suffix, num_distinct
+
+
+def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, cap: int, slots: int = MAX_DEPTH_SLOTS):
+    """Index + collect + suffix-filter + uniqueness + positions, fused.
+
+    One device program covering the whole block stage of the reference
+    rotation phase (csamsa.c:271-308: collectNodes, removeSuffixNodes,
+    removeNonUniqueNodes + collectPositions), returning ONE packed int32
+    vector so the host pays a single device round trip (the tunneled-chip
+    transfer latency dominates wall time otherwise).
+
+    Packed layout: [dup, nb, num_distinct,
+                    bstart (cap), bend (cap), bdepth (cap),
+                    keep_suffix (cap), unique (cap),
+                    positions (cap*k, row-major block-major)].
+    ``nb`` may exceed ``cap``; the host must re-run with a larger cap then.
+    """
+    rank_stack, sa, lcp, raw, dup = device_index_program(
+        codes, lengths, k=k, n_max=n_max, levels=levels
+    )
+    collected, start, end, _, _ = collect_program(
+        sa, lcp, lengths, k=k, n_max=n_max, levels=levels
+    )
+    nb, valid, bstart, bend, bdepth = compact_blocks_program(
+        collected, start, end, lcp, cap=cap
+    )
+    M, Mpos = member_tables_program(sa, lengths, k=k, n_max=n_max)
+    cnts, first_pos = uniqueness_counts(M, Mpos, bstart, bend)
+    unique = jnp.all(cnts == 1, axis=0) & valid
+    positions = first_pos.T  # (cap, k)
+    keep_suffix, num_distinct = suffix_filter_program(
+        sa, lcp, lengths, valid, bstart, bend, bdepth,
+        k=k, n_max=n_max, cap=cap, slots=slots,
+    )
 
     packed = jnp.concatenate(
         [
@@ -467,6 +513,20 @@ class RotationBlocks:
         self.positions = (
             f[5 * cap : (5 + k) * cap].reshape(cap, k)[:nb].astype(np.int64)
         )
+
+    @classmethod
+    def from_fields(
+        cls, *, num_collected, start, end, depth, keep_suffix, unique, positions
+    ) -> "RotationBlocks":
+        self = object.__new__(cls)
+        self.num_collected = int(num_collected)
+        self.start = np.asarray(start).astype(np.int64)
+        self.end = np.asarray(end).astype(np.int64)
+        self.depth = np.asarray(depth).astype(np.int64)
+        self.keep_suffix = np.asarray(keep_suffix).astype(bool)
+        self.unique = np.asarray(unique).astype(bool)
+        self.positions = np.asarray(positions).astype(np.int64)
+        return self
 
 
 def rotation_blocks_jax(encoded: Sequence[np.ndarray], cap: int = 4096):

@@ -82,6 +82,13 @@ def analyze(
         from ..index import engine as jax_engine
 
         fused = jax_engine.rotation_blocks_jax(encoded)
+    elif backend == "sharded":
+        # mesh-parallel block stage + explicit collective chain merge
+        # (falls back to the exact numpy path on duplicate rotations,
+        # like the single-device jax backend)
+        from ..parallel import sharded
+
+        fused = sharded.rotation_blocks_sharded(encoded)
 
     if fused is not None:
         # the whole block stage (collect + suffix filter + uniqueness +
