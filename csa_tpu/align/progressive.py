@@ -610,32 +610,41 @@ def progressive_dp(
         strings_l = [
             None if s is None else s[:ncols] for s in strings
         ]
+        from ..utils.profiling import PROFILER
+
+        PROFILER.add("dp_cells", nrows * ncols)
         if dp_backend == "jax" and nrows * ncols >= DEVICE_MIN_CELLS:
             from ..dp import wavefront
 
-            path = wavefront.dp_path_device(
-                row_codes, scorevector[:ncols], i,
-                top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
-            )
+            PROFILER.add("dp_device_dispatches", 1)
+            with PROFILER.phase("align.dp_fill"):
+                path = wavefront.dp_path_device(
+                    row_codes, scorevector[:ncols], i,
+                    top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
+                )
             prev_consensussize = ncols
-            new_strings, new_sv, consensussize = merge_from_path(
-                path, row_codes, strings_l, scorevector[:ncols], ordered, i, n
-            )
+            with PROFILER.phase("align.dp_merge"):
+                new_strings, new_sv, consensussize = merge_from_path(
+                    path, row_codes, strings_l, scorevector[:ncols], ordered, i, n
+                )
         else:
-            _, dirs = dp_fill(
-                row_codes, scorevector[:ncols], i,
-                top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
-            )
+            with PROFILER.phase("align.dp_fill"):
+                _, dirs = dp_fill(
+                    row_codes, scorevector[:ncols], i,
+                    top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
+                )
             prev_consensussize = ncols
-            new_strings, new_sv, consensussize = backtrack_merge(
-                dirs, row_codes, strings_l, scorevector[:ncols], ordered, i, n
-            )
+            with PROFILER.phase("align.dp_merge"):
+                new_strings, new_sv, consensussize = backtrack_merge(
+                    dirs, row_codes, strings_l, scorevector[:ncols], ordered, i, n
+                )
         strings = new_strings
         scorevector = new_sv
         if i > 1:
-            consensussize = delete_gapped_columns(
-                ordered, strings, i + 1, scorevector, consensussize, (i + 1) // 2
-            )
+            with PROFILER.phase("align.dgc"):
+                consensussize = delete_gapped_columns(
+                    ordered, strings, i + 1, scorevector, consensussize, (i + 1) // 2
+                )
     return [
         (s[:consensussize] if s is not None else np.full(consensussize, GAP, dtype=np.int8))
         for s in strings

@@ -72,9 +72,13 @@ def run_alignment(
     k = len(rotated_codes)
     textsizes = np.array([len(c) for c in rotated_codes], dtype=np.int64)
 
+    from ..utils.profiling import PROFILER
+
     print("> Preparing tree for alignment...", end="", file=log)
-    nodes = anchors.compute_border_nodes(rotated_codes)
-    blist = machine.BorderList(nodes, k)
+    with PROFILER.phase("align.anchors"):
+        nodes = anchors.compute_border_nodes(rotated_codes)
+    with PROFILER.phase("align.machine_init"):
+        blist = machine.BorderList(nodes, k)
     print(" ok", file=log)
 
     first = Segment(np.full(k, -1, dtype=np.int64), 1)
@@ -90,9 +94,11 @@ def run_alignment(
             continue
         startpos = [int(x) for x in (startsegment.positions + startsegment.size)]
         endpos = [int(x) for x in endsegment.positions]
-        count = blist.update_active(startpos, endpos)
+        with PROFILER.phase("align.active_window"):
+            count = blist.update_active(startpos, endpos)
         if count > 0:
-            chain = blist.calculate_his(endpos)
+            with PROFILER.phase("align.his_chain"):
+                chain = blist.calculate_his(endpos)
             count = _set_alignment_map_segments(
                 chain, startsegment, endsegment, textsizes
             )

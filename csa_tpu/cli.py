@@ -66,6 +66,8 @@ def _load(args) -> fio.SequenceSet:
 
 
 def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
+    from .utils.profiling import PROFILER
+
     t0 = time.time()
     try:
         res = rot.analyze(
@@ -76,17 +78,18 @@ def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
         )
     except rot.RotationError as e:
         raise SystemExit(f"\n> ERROR: {e}")
-    rotfile = output_filename(args.input, ROTATIONS_SUFFIX)
-    fio.save_rotated(seqs, res.rotations, rotfile)
+    with PROFILER.phase("rot.artifacts"):
+        rotfile = output_filename(args.input, ROTATIONS_SUFFIX)
+        fio.save_rotated(seqs, res.rotations, rotfile)
 
-    # chain report (csamsa.c:310-414 createImageAndShowResults)
-    from .report import blocks_report
+        # chain report (csamsa.c:310-414 createImageAndShowResults)
+        from .report import blocks_report
 
-    blocks_report.write_blocks_artifacts(
-        args.input, seqs, res,
-        min_block_size=args.min_block_size,
-        max_block_size=args.max_block_size,
-    )
+        blocks_report.write_blocks_artifacts(
+            args.input, seqs, res,
+            min_block_size=args.min_block_size,
+            max_block_size=args.max_block_size,
+        )
     if args.profile:
         print(f"> [profile] rotation phase: {time.time() - t0:.3f}s "
               f"(backend={args.backend})")
@@ -130,6 +133,10 @@ def main(argv=None) -> int:
 
     print(banner("[ csa-tpu: Multiple Circular Sequence Aligner ]"))
 
+    from .utils.profiling import PROFILER, jax_trace
+
+    PROFILER.enabled = bool(args.profile)
+
     # reference argument convention: one arg = full pipeline on that file;
     # two args = mode char + file (csamsa.c:539-547)
     mode = "N"
@@ -143,28 +150,32 @@ def main(argv=None) -> int:
         parser.print_help()
         return 0
 
-    if mode in ("N", "R", "A"):
-        seqs = _load(args)
+    with jax_trace(os.environ.get("CSA_TPU_JAX_TRACE")):
+        if mode in ("N", "R", "A"):
+            with PROFILER.phase("io.load_fasta"):
+                seqs = _load(args)
 
-    res = None
-    if mode in ("N", "R"):
-        print("> Building generalized cyclic suffix index...")
-        res = run_rotation(args, seqs)
+        res = None
+        if mode in ("N", "R"):
+            print("> Building generalized cyclic suffix index...")
+            res = run_rotation(args, seqs)
 
-    alignfile = None
-    if mode in ("N", "A"):
-        import numpy as np
+        alignfile = None
+        if mode in ("N", "A"):
+            import numpy as np
 
-        rotations = (res.rotations if res is not None
-                     else np.zeros(len(seqs), dtype=np.int64))
-        alignfile = run_alignment(args, seqs, rotations)
+            rotations = (res.rotations if res is not None
+                         else np.zeros(len(seqs), dtype=np.int64))
+            with PROFILER.phase("align.total"):
+                alignfile = run_alignment(args, seqs, rotations)
 
-    if mode in ("N", "I"):
-        from .report import circular_plot
+        if mode in ("N", "I"):
+            from .report import circular_plot
 
-        source = alignfile if alignfile else args.input
-        out = output_filename(args.input, CIRCULARIMAGE_SUFFIX)
-        circular_plot.draw_circular_alignment_plot(source, out)
+            source = alignfile if alignfile else args.input
+            out = output_filename(args.input, CIRCULARIMAGE_SUFFIX)
+            with PROFILER.phase("report.circular_plot"):
+                circular_plot.draw_circular_alignment_plot(source, out)
 
     if mode == "C":
         from .tools import files as tools_files
@@ -181,6 +192,8 @@ def main(argv=None) -> int:
 
         tools_files.fasta_to_msf(args.input)
 
+    if args.profile:
+        PROFILER.report(sys.stdout)
     print("> Done!")
     return 0
 

@@ -70,25 +70,28 @@ def analyze(
         else:
             backend = "jax"
 
+    from ..utils.profiling import PROFILER
+
     fused = None
     index = None
-    if backend == "native":
-        from .. import native
+    with PROFILER.phase(f"rot.block_stage[{backend}]"):
+        if backend == "native":
+            from .. import native
 
-        fused = native.rotation_analyze(encoded)
-        if fused is None:  # no toolchain: numpy twin
-            backend = "numpy"
-    elif backend == "jax":
-        from ..index import engine as jax_engine
+            fused = native.rotation_analyze(encoded)
+            if fused is None:  # no toolchain: numpy twin
+                backend = "numpy"
+        elif backend == "jax":
+            from ..index import engine as jax_engine
 
-        fused = jax_engine.rotation_blocks_jax(encoded)
-    elif backend == "sharded":
-        # mesh-parallel block stage + explicit collective chain merge
-        # (falls back to the exact numpy path on duplicate rotations,
-        # like the single-device jax backend)
-        from ..parallel import sharded
+            fused = jax_engine.rotation_blocks_jax(encoded)
+        elif backend == "sharded":
+            # mesh-parallel block stage + explicit collective chain merge
+            # (falls back to the exact numpy path on duplicate rotations,
+            # like the single-device jax backend)
+            from ..parallel import sharded
 
-        fused = sharded.rotation_blocks_sharded(encoded)
+            fused = sharded.rotation_blocks_sharded(encoded)
 
     if fused is not None:
         # the whole block stage (collect + suffix filter + uniqueness +
@@ -139,6 +142,8 @@ def analyze(
     print(f"{num_after_unique} nodes left", file=log)
 
     print("> Connecting block chains... ", end="", file=log)
+    chains_timer = PROFILER.phase("rot.chains")
+    chains_timer.__enter__()
     # reference list order: depth-descending (insertSortedItem,
     # nodeslinkedlists.c:34-51); ties keep a deterministic engine order.
     order = np.lexsort((fstart, -fdepth))
@@ -161,6 +166,7 @@ def analyze(
 
     blocks_sorted = chains_mod.sort_by_chain_size(chain_blocks)
     rotations = chains_mod.pick_rotations(blocks_sorted)
+    chains_timer.__exit__(None, None, None)
     if rotations is None:
         raise RotationError("No unique common subsequences found")
 
