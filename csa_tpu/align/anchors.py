@@ -61,11 +61,19 @@ class LinearIndex:
     num_seqs: int
 
 
-def build_linear_index(encoded_rotated: Sequence[np.ndarray]) -> LinearIndex:
+def build_linear_index(
+    encoded_rotated: Sequence[np.ndarray], backend: str = "numpy"
+) -> LinearIndex:
     """Prefix-doubling suffix sort of the concatenated rotated sequences.
 
     Unique per-sequence separators (values 0..k-1, below all character
     codes) terminate matches and make shorter prefix-suffixes sort first.
+
+    ``backend="jax"`` reuses the device engine's sort machinery
+    (:func:`csa_tpu.index.engine.linear_suffix_order`) — the same
+    workload the reference re-runs tree surgery for
+    (morenodeslinkedlists.c:303-326); the numpy path is the exactness
+    twin (tests/test_anchors_backend.py).
     """
     k = len(encoded_rotated)
     sizes = np.array([len(e) for e in encoded_rotated], dtype=np.int64)
@@ -79,6 +87,25 @@ def build_linear_index(encoded_rotated: Sequence[np.ndarray]) -> LinearIndex:
         s[at + len(e)] = i  # unique separator, sorts below all chars
         at += len(e) + 1
     offsets[k] = at
+
+    if backend == "jax":
+        from ..index import engine
+
+        sa_all, lcp_all = engine.linear_suffix_order(s)
+        # the k separator suffixes (first char < k < every real char) are
+        # exactly the first k sorted entries; drop them.  Adjacency among
+        # the remaining entries is unchanged, so their pairwise LCPs carry
+        # over; the new first entry's lcp is 0 by definition.
+        sa = sa_all[k:]
+        lcp = lcp_all[k:].copy()
+        if len(lcp):
+            lcp[0] = 0
+        seq_of = np.searchsorted(offsets, sa, side="right") - 1
+        pos_of = sa - offsets[seq_of]
+        cap = sizes[seq_of] - pos_of
+        return LinearIndex(
+            seq_of=seq_of, pos_of=pos_of, cap=cap, lcp=lcp, num_seqs=k
+        )
 
     rank = s.copy()
     levels = [rank.copy()]
@@ -190,9 +217,10 @@ def _nearest_le_threshold(values: np.ndarray, thresh: np.ndarray):
 
 def compute_border_nodes(
     encoded_rotated: Sequence[np.ndarray],
+    backend: str = "numpy",
 ) -> List[BorderNode]:
     """Compute all border nodes with their per-sequence position lists."""
-    idx = build_linear_index(encoded_rotated)
+    idx = build_linear_index(encoded_rotated, backend=backend)
     k = idx.num_seqs
     m = len(idx.lcp)
     seq = idx.seq_of

@@ -76,7 +76,10 @@ def run_alignment(
 
     print("> Preparing tree for alignment...", end="", file=log)
     with PROFILER.phase("align.anchors"):
-        nodes = anchors.compute_border_nodes(rotated_codes)
+        nodes = anchors.compute_border_nodes(
+            rotated_codes,
+            backend="jax" if dp_backend in ("jax", "sharded") else "numpy",
+        )
     with PROFILER.phase("align.machine_init"):
         blist = machine.BorderList(nodes, k)
     print(" ok", file=log)

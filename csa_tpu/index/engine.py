@@ -245,6 +245,87 @@ _collect_device = functools.partial(
 )(collect_program)
 
 
+def linear_index_program(s, valid_n, *, total: int, levels: int):
+    """Prefix-doubling suffix sort of ONE linear string (device twin of
+    :func:`csa_tpu.align.anchors.build_linear_index`'s host loop).
+
+    ``s``: (total,) int32, real values in ``[0, valid_n)`` (smaller values
+    sort first — the caller encodes separators below character codes);
+    pad slots get unique sentinel ranks above every real rank.  Returns
+    ``(sa, lcp)`` where ``sa`` is the full sorted order (pads last) and
+    ``lcp[i]`` is the LCP of sorted entries ``i-1``/``i`` (``lcp[0]=0``).
+
+    Shifted ranks follow the linear convention ``rank2 = -1`` past the end
+    of the string (matching numpy's host twin), NOT the cyclic wrap of
+    :func:`device_index_program`.
+    """
+    g = jnp.arange(total, dtype=jnp.int32)
+    big = jnp.int32(total)
+    real = g < valid_n
+    rank = jnp.where(real, s.astype(jnp.int32), big + g)
+    rank_levels = [rank]
+    order = None
+    for t in range(levels - 1):
+        pos2 = g + jnp.int32(1 << t)
+        rank2 = jnp.where(
+            real & (pos2 < valid_n),
+            rank[jnp.minimum(pos2, total - 1)],
+            jnp.int32(-1),
+        )
+        r1s, r2s, order = jax.lax.sort((rank, rank2, g), num_keys=2, is_stable=True)
+        newgrp = jnp.concatenate(
+            [
+                jnp.zeros(1, jnp.int32),
+                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
+            ]
+        )
+        dense = jnp.cumsum(newgrp)
+        rank = jnp.zeros(total, jnp.int32).at[order].set(dense.astype(jnp.int32))
+        rank = jnp.where(real, rank, big + g)
+        rank_levels.append(rank)
+    stack = jnp.stack(rank_levels)
+    if order is None:
+        sa = jnp.argsort(rank).astype(jnp.int32)
+    else:
+        sa = order.astype(jnp.int32)
+
+    a = sa[:-1]
+    b = sa[1:]
+    off = jnp.zeros(total - 1, dtype=jnp.int32)
+    for t in range(levels - 1, -1, -1):
+        ga = a + off
+        gb = b + off
+        ok = (ga < valid_n) & (gb < valid_n)
+        eq = ok & (
+            stack[t][jnp.minimum(ga, total - 1)]
+            == stack[t][jnp.minimum(gb, total - 1)]
+        )
+        off = jnp.where(eq, off + jnp.int32(1 << t), off)
+    lcp = jnp.concatenate([jnp.zeros(1, jnp.int32), off])
+    return sa, lcp
+
+
+_linear_index_device = functools.partial(
+    jax.jit, static_argnames=("total", "levels")
+)(linear_index_program)
+
+
+def linear_suffix_order(s_real: np.ndarray):
+    """Host wrapper: pad, run the device linear sort, return (sa, lcp)
+    over the real entries only (sorted order, pads stripped)."""
+    n = len(s_real)
+    total = _bucket(max(n, 8))
+    levels = _num_levels(total)
+    s = np.zeros(total, dtype=np.int32)
+    s[:n] = s_real
+    sa, lcp = _linear_index_device(
+        jnp.asarray(s), jnp.int32(n), total=total, levels=levels
+    )
+    sa = np.asarray(sa).astype(np.int64)
+    lcp = np.asarray(lcp).astype(np.int64)
+    return sa[:n], lcp[:n]
+
+
 def build_index_jax(encoded: Sequence[np.ndarray]) -> cyclic.RotationIndex:
     """Build a :class:`cyclic.RotationIndex` using the device engine.
 
