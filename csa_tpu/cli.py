@@ -78,6 +78,13 @@ def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
         )
     except rot.RotationError as e:
         raise SystemExit(f"\n> ERROR: {e}")
+    if args.verify_rotations:
+        from .rotation import verification
+
+        with PROFILER.phase("rot.device_verify"):
+            verification.verify_rotations(
+                seqs.encoded_all(), res.rotations, log=sys.stdout
+            )
     with PROFILER.phase("rot.artifacts"):
         rotfile = output_filename(args.input, ROTATIONS_SUFFIX)
         fio.save_rotated(seqs, res.rotations, rotfile)
@@ -127,6 +134,9 @@ def main(argv=None) -> int:
     parser.add_argument("--max-block-size", type=int, default=INT_MAX)
     parser.add_argument("--max-interval", type=int, default=INT_MAX)
     parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--verify-rotations", action="store_true",
+                        help="score chosen vs alternative rotations with "
+                             "the device NW kernel (sanity oracle)")
     parser.add_argument("--version", action="version",
                         version=f"csa-tpu {__version__}")
     args = parser.parse_args(argv)
