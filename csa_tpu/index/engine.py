@@ -574,6 +574,21 @@ _full_rotation_device = functools.partial(
 )(full_rotation_program)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_max", "levels", "cap", "slots")
+)
+def _full_rotation_packed(codes, lengths, *, k, n_max, levels, cap, slots):
+    """Packed-vector-only variant: the rank stack and suffix order are
+    NOT program outputs, so XLA frees each rank level after its last LCP-
+    descent use instead of pinning the whole (levels, k*n_max) stack —
+    the difference between fitting and not fitting Mbp-scale sets in HBM
+    (docs/PERFORMANCE.md memory model)."""
+    packed, *_ = full_rotation_program(
+        codes, lengths, k=k, n_max=n_max, levels=levels, cap=cap, slots=slots
+    )
+    return packed
+
+
 class RotationBlocks:
     """Host view of the fused rotation block stage (one transfer)."""
 
@@ -625,7 +640,7 @@ def rotation_blocks_jax(encoded: Sequence[np.ndarray], cap: int = 4096):
     js = jnp.asarray(sizes)
     slots = MAX_DEPTH_SLOTS
     while True:
-        packed, *_ = _full_rotation_device(
+        packed = _full_rotation_packed(
             jc, js, k=k, n_max=n_max, levels=levels, cap=cap, slots=slots
         )
         arr = np.asarray(packed)  # the single device->host transfer
