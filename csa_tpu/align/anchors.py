@@ -88,10 +88,19 @@ def build_linear_index(
         at += len(e) + 1
     offsets[k] = at
 
-    if backend == "jax":
-        from ..index import engine
+    if backend in ("jax", "native"):
+        if backend == "jax":
+            from ..index import engine
 
-        sa_all, lcp_all = engine.linear_suffix_order(s)
+            sa_all, lcp_all = engine.linear_suffix_order(s)
+        else:
+            from .. import native
+
+            res = native.linear_index(s, k + 5)
+            if res is None:  # no toolchain: numpy exactness twin
+                return build_linear_index(encoded_rotated, backend="numpy")
+            sa_all = res[0].astype(np.int64)
+            lcp_all = res[1].astype(np.int64)
         # the k separator suffixes (first char < k < every real char) are
         # exactly the first k sorted entries; drop them.  Adjacency among
         # the remaining entries is unchanged, so their pairwise LCPs carry

@@ -78,7 +78,9 @@ def run_alignment(
     with PROFILER.phase("align.anchors"):
         nodes = anchors.compute_border_nodes(
             rotated_codes,
-            backend="jax" if dp_backend in ("jax", "sharded") else "numpy",
+            backend={"jax": "jax", "sharded": "jax", "native": "native"}.get(
+                dp_backend, "numpy"
+            ),
         )
     with PROFILER.phase("align.machine_init"):
         blist = machine.BorderList(nodes, k)

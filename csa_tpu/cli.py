@@ -118,6 +118,29 @@ def run_alignment(args, seqs: fio.SequenceSet, rotations) -> str:
     return alignfile
 
 
+def _enable_persistent_compile_cache():
+    """Cache compiled XLA executables across CLI invocations.
+
+    First compile of the fused rotation program over a tunneled chip costs
+    minutes; with the cache a later run of the same shape bucket loads it
+    in milliseconds.  Opt out with CSA_TPU_NO_COMPILE_CACHE=1; relocate
+    with CSA_TPU_COMPILE_CACHE=<dir>.
+    """
+    if os.environ.get("CSA_TPU_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get("CSA_TPU_COMPILE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "csa_tpu", "xla_cache"
+    )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="csa-tpu",
@@ -140,6 +163,9 @@ def main(argv=None) -> int:
     parser.add_argument("--version", action="version",
                         version=f"csa-tpu {__version__}")
     args = parser.parse_args(argv)
+
+    if args.backend in ("auto", "jax", "sharded"):
+        _enable_persistent_compile_cache()
 
     print(banner("[ csa-tpu: Multiple Circular Sequence Aligner ]"))
 

@@ -62,6 +62,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.csa_linear_index.restype = ctypes.c_int32
+    lib.csa_linear_index.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -174,6 +179,23 @@ def rotation_analyze(encoded, max_blocks: int = 8192):
     out.unique = uniq[:nb].astype(bool)
     out.positions = positions[:nb]
     return out
+
+
+def linear_index(s: np.ndarray, sigma: int):
+    """Suffix array + adjacent LCPs of one int string with embedded
+    unique separators (values in [0, sigma)); returns (sa, lcp) int32
+    arrays or None when the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    ss = np.ascontiguousarray(s, dtype=np.int32)
+    total = len(ss)
+    sa = np.empty(total, dtype=np.int32)
+    lcp = np.empty(total, dtype=np.int32)
+    lib.csa_linear_index(
+        ss.ctypes.data, total, int(sigma), sa.ctypes.data, lcp.ctypes.data
+    )
+    return sa, lcp
 
 
 def pairwise_nw(a: np.ndarray, b: np.ndarray):

@@ -18,6 +18,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 constexpr int MATCH = 1;
 constexpr int DOUBLEGAP = 0;
@@ -65,35 +69,82 @@ int32_t csa_dp_fill(const int8_t* row_codes, int32_t R,
     }
   }
   // m1/d1 precompute: max(diag, up) with the diag-preferred tie-break is
-  // vectorizable; only the left-extension chain stays serial.  Tie-break
-  // equivalence with the reference (diag >= up >= left preference):
-  // left wins over m1 iff left > m1, or left == m1 and m1 came from up.
+  // vectorizable.  Tie-break equivalence with the reference
+  // (diag >= up >= left preference): left wins over m1 iff left > m1, or
+  // left == m1 and m1 came from up.
+  //
+  // The left-extension chain cur[c] = max(m1[c], cur[c-1] + cg[c]) is a
+  // max-plus prefix scan with the closed form (same trick as the device
+  // row-scan, csa_tpu/dp/wavefront.py): with S = prefix-sum(cg) and
+  // T[c] = cur[c] - S[c],  T[c] = max(T[c-1], m1[c] - S[c]) — a plain
+  // running max.  That shrinks the serial work to one add (S) and one
+  // max (T) per cell; everything else (m1, u, cur, directions) is
+  // straight-line vector code the compiler auto-vectorizes.  Directions
+  // are recomputed exactly afterward from the settled cur values: the
+  // chain value never depends on the tie-break, only the direction does.
   std::vector<int32_t> m1(C + 1);
   std::vector<int8_t> d1(C + 1);
+  std::vector<int32_t> S(C + 1), u(C + 1);
+  S[0] = 0;
+  for (int32_t c = 1; c <= C; ++c) S[c] = S[c - 1] + colgap[c];
   for (int32_t j = 1; j <= R; ++j) {
-    const int32_t* subrow = subcol.data() + (int64_t)row_codes[j - 1] * C;
-    int8_t* drow = dirs + (int64_t)j * (C + 1);
+    const int32_t* __restrict subrow =
+        subcol.data() + (int64_t)row_codes[j - 1] * C;
+    int8_t* __restrict drow = dirs + (int64_t)j * (C + 1);
     drow[0] = D_UP;
     cur[0] = j * edge_rowgap;
-    const int32_t* pv = prev.data();
-    int32_t* m1p = m1.data();
-    int8_t* d1p = d1.data();
+    const int32_t* __restrict pv = prev.data();
+    int32_t* __restrict m1p = m1.data();
+    int8_t* __restrict d1p = d1.data();
+    const int32_t* __restrict Sp = S.data();
+    int32_t* __restrict up_ = u.data();
     for (int32_t c = 1; c <= C; ++c) {
       const int32_t diag = pv[c - 1] + subrow[c - 1];
       const int32_t up = pv[c] + rowgap;
       const bool dwin = diag >= up;
-      m1p[c] = dwin ? diag : up;
+      const int32_t m = dwin ? diag : up;
+      m1p[c] = m;
       d1p[c] = dwin ? D_DIAG : D_UP;
+      up_[c] = m - Sp[c];
     }
-    int32_t left_val = cur[0];
-    int32_t* cu = cur.data();
-    const int32_t* cg = colgap.data();
+    // serial core: running max of u, reused in place as T.  With random
+    // profiles a branchy `if` mispredicts nearly every cell (measured
+    // 0.23 -> 1.2 Gcell/s going branchless); the AVX-512 path does the
+    // inclusive prefix max in-register (4 alignr+max steps + carry).
+    int32_t t = cur[0];  // T[0] = cur[0] - S[0]
+    int32_t* __restrict cu = cur.data();
+    {
+      int32_t c = 1;
+#if defined(__AVX512F__)
+      __m512i carry = _mm512_set1_epi32(t);
+      const __m512i z = _mm512_set1_epi32(INT32_MIN);
+      for (; c + 16 <= C + 1; c += 16) {
+        __m512i v = _mm512_loadu_si512((const void*)(up_ + c));
+        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 15));
+        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 14));
+        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 12));
+        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 8));
+        v = _mm512_max_epi32(v, carry);
+        _mm512_storeu_si512((void*)(up_ + c), v);
+        carry = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), v);
+      }
+      t = _mm_cvtsi128_si32(_mm512_castsi512_si128(carry));
+#endif
+      for (; c <= C; ++c) {
+        t = up_[c] > t ? up_[c] : t;
+        up_[c] = t;
+      }
+    }
+    up_[0] = cur[0];
+    const int32_t* __restrict cg = colgap.data();
     for (int32_t c = 1; c <= C; ++c) {
-      const int32_t left = left_val + cg[c];
-      const int32_t m = m1p[c];
-      const bool take_left = (left > m) | ((left == m) & (d1p[c] == D_UP));
-      left_val = take_left ? left : m;
-      cu[c] = left_val;
+      cu[c] = up_[c] + Sp[c];
+      // exact reference direction: left = cur[c-1] + cg[c]; cur[c-1] is
+      // settled (= T[c-1] + S[c-1]), so read it from up_/Sp to keep the
+      // loop dependence-free for the vectorizer
+      const int32_t left = up_[c - 1] + Sp[c - 1] + cg[c];
+      const bool take_left =
+          (left > m1p[c]) | ((left == m1p[c]) & (d1p[c] == D_UP));
       drow[c] = take_left ? D_LEFT : d1p[c];
     }
     prev.swap(cur);
@@ -727,6 +778,121 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
   }
   mark("unique");
   counts[3] = after_unique;
+  return 0;
+}
+
+// Linear suffix index of one concatenated string (the alignment-phase
+// anchor workload: csa_tpu/align/anchors.py::build_linear_index, the
+// re-derivation of the reference's tree surgery
+// morenodeslinkedlists.c:303-326).  s values are in [0, sigma); the
+// caller embeds one UNIQUE separator per sequence, which makes every
+// suffix distinct and caps every comparison, so plain prefix doubling
+// with the linear past-the-end convention (rank -1) converges to a
+// total order and Kasai yields exact (uncapped) LCPs.
+// Outputs: sa (total,) int32 sorted suffix starts; lcp (total,) int32
+// adjacent LCPs (lcp[0] = 0).  Returns 0.
+int32_t csa_linear_index(const int32_t* s, int32_t total, int32_t sigma,
+                         int32_t* sa, int32_t* lcp) {
+  if (total <= 0) return 0;
+  // pack W chars base sigma into one int31 key (rolling window, zero pad
+  // past the end — the pad never decides an order: two windows always
+  // first differ at or before a unique separator inside the string)
+  int32_t W = 1;
+  {
+    int64_t p = sigma;
+    while (p * sigma < (int64_t(1) << 31)) {
+      p *= sigma;
+      ++W;
+    }
+  }
+  std::vector<int32_t> key(total);
+  {
+    int64_t top = 1;
+    for (int32_t t = 1; t < W; ++t) top *= sigma;
+    int64_t acc = 0;
+    for (int32_t t = 0; t < W; ++t)
+      acc = acc * sigma + (t < total ? s[t] : 0);
+    key[0] = static_cast<int32_t>(acc);
+    for (int32_t p = 1; p < total; ++p) {
+      const int64_t incoming = p + W - 1 < total ? s[p + W - 1] : 0;
+      acc = (acc - s[p - 1] * top) * sigma + incoming;
+      key[p] = static_cast<int32_t>(acc);
+    }
+  }
+  std::vector<int32_t> idx(total), tmp(total), hist;
+  for (int32_t g = 0; g < total; ++g) idx[g] = g;
+  radix_pass(key.data(), 0, idx, tmp, hist);
+  radix_pass(key.data(), 16, idx, tmp, hist);
+  std::vector<int32_t> rank(total);
+  std::vector<int32_t> run_lo, run_hi;
+  {
+    int32_t gs = 0;
+    for (int32_t i = 1; i <= total; ++i) {
+      if (i == total || key[idx[i]] != key[idx[gs]]) {
+        for (int32_t j = gs; j < i; ++j) rank[idx[j]] = gs;
+        if (i - gs > 1) {
+          run_lo.push_back(gs);
+          run_hi.push_back(i - 1);
+        }
+        gs = i;
+      }
+    }
+  }
+  int32_t window = W;
+  std::vector<std::pair<int32_t, int32_t>> run_buf;
+  std::vector<int32_t> run_g, new_lo, new_hi;
+  while (window < total && !run_lo.empty()) {
+    new_lo.clear();
+    new_hi.clear();
+    for (size_t r = 0; r < run_lo.size(); ++r) {
+      const int32_t lo = run_lo[r], hi = run_hi[r];
+      const int32_t L = hi - lo + 1;
+      run_buf.resize(L);
+      run_g.resize(L);
+      for (int32_t e = 0; e < L; ++e) {
+        const int32_t g = idx[lo + e];
+        run_g[e] = g;
+        const int32_t adv = g + window;
+        run_buf[e] = {adv < total ? rank[adv] : -1, e};
+      }
+      std::sort(run_buf.begin(), run_buf.end());
+      for (int32_t e = 0; e < L; ++e) idx[lo + e] = run_g[run_buf[e].second];
+      int32_t e0 = 0;
+      for (int32_t e = 1; e <= L; ++e) {
+        if (e == L || run_buf[e].first != run_buf[e0].first) {
+          for (int32_t j = e0; j < e; ++j) rank[idx[lo + j]] = lo + e0;
+          if (e - e0 > 1) {
+            new_lo.push_back(lo + e0);
+            new_hi.push_back(lo + e - 1);
+          }
+          e0 = e;
+        }
+      }
+    }
+    run_lo.swap(new_lo);
+    run_hi.swap(new_hi);
+    window <<= 1;
+  }
+  // every suffix distinct (unique separators) -> rank is the exact sorted
+  // position; standard Kasai for the LCPs
+  std::memcpy(sa, idx.data(), sizeof(int32_t) * total);
+  lcp[0] = 0;
+  {
+    int32_t h = 0;
+    for (int32_t g = 0; g < total; ++g) {
+      const int32_t i = rank[g];
+      if (i > 0) {
+        const int32_t y = sa[i - 1];
+        const int32_t cap = total - (g > y ? g : y);
+        if (h > cap) h = cap;
+        while (h < cap && s[g + h] == s[y + h]) ++h;
+        lcp[i] = h;
+      } else {
+        h = 0;
+      }
+      if (h > 0) --h;
+    }
+  }
   return 0;
 }
 
