@@ -15,7 +15,8 @@ M         Convert aligned FASTA -> MSF
 ========  ==========================================================
 
 Extra (new in this framework): ``--backend {auto,numpy,jax,native,sharded}``,
-``--profile``, ``--min-block-size``, ``--max-interval``.
+``--mesh SEQxPOS`` (device mesh for the sharded backend), ``--profile``,
+``--verify-rotations``, ``--min-block-size``, ``--max-interval``.
 """
 
 from __future__ import annotations
@@ -75,6 +76,7 @@ def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
             maxinterval=args.max_interval,
             log=sys.stdout,
             backend=args.backend,
+            mesh_shape=args.mesh,
         )
     except rot.RotationError as e:
         raise SystemExit(f"\n> ERROR: {e}")
@@ -118,6 +120,20 @@ def run_alignment(args, seqs: fio.SequenceSet, rotations) -> str:
     return alignfile
 
 
+def _parse_mesh(text: str):
+    """``4x2`` -> (4, 2): (seq, pos) device-mesh axes."""
+    try:
+        seq, _, pos = text.lower().partition("x")
+        shape = (int(seq), int(pos))
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"mesh must look like SEQxPOS (e.g. 4x2), got {text!r}"
+        )
+    if shape[0] < 1 or shape[1] < 1:
+        raise argparse.ArgumentTypeError("mesh axes must be >= 1")
+    return shape
+
+
 def _enable_persistent_compile_cache():
     """Cache compiled XLA executables across CLI invocations.
 
@@ -156,6 +172,10 @@ def main(argv=None) -> int:
     parser.add_argument("--min-block-size", type=int, default=10)
     parser.add_argument("--max-block-size", type=int, default=INT_MAX)
     parser.add_argument("--max-interval", type=int, default=INT_MAX)
+    parser.add_argument("--mesh", type=_parse_mesh, default=None,
+                        metavar="SEQxPOS",
+                        help="device mesh shape for --backend sharded, "
+                             "e.g. 4x2 (default: auto-factor all devices)")
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--verify-rotations", action="store_true",
                         help="score chosen vs alternative rotations with "

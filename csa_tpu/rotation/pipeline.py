@@ -49,6 +49,7 @@ def analyze(
     maxinterval: int = INT_MAX,
     log: Optional[TextIO] = None,
     backend: str = "numpy",
+    mesh_shape: Optional[tuple] = None,
 ) -> RotationResult:
     """Compute optimal rotations for a set of circular sequences.
 
@@ -91,7 +92,13 @@ def analyze(
             # like the single-device jax backend)
             from ..parallel import sharded
 
-            fused = sharded.rotation_blocks_sharded(encoded)
+            mesh = None
+            if mesh_shape:
+                shape = tuple(int(x) for x in mesh_shape)
+                mesh = sharded.make_mesh(
+                    n_devices=shape[0] * shape[1], shape=shape
+                )
+            fused = sharded.rotation_blocks_sharded(encoded, mesh=mesh)
 
     if fused is not None:
         # the whole block stage (collect + suffix filter + uniqueness +

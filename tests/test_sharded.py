@@ -109,3 +109,15 @@ def test_sharded_uses_all_eight_devices():
     assert len(jax.devices()) == 8
     mesh = sharded.make_mesh()
     assert mesh.size == 8
+
+
+def test_explicit_mesh_shape_through_analyze():
+    """--mesh plumbing: pipeline.analyze(mesh_shape=) builds the requested
+    (seq, pos) mesh and still matches the numpy engine exactly."""
+    encoded = _synthetic_circular_set(k=4, n=180, seed=11)
+    seqs = _FakeSeqs(encoded)
+    ref = rot.analyze(seqs, log=io.StringIO(), backend="numpy")
+    shr = rot.analyze(
+        seqs, log=io.StringIO(), backend="sharded", mesh_shape=(2, 4)
+    )
+    assert _result_tuple(ref) == _result_tuple(shr)
