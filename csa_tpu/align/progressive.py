@@ -628,16 +628,35 @@ def progressive_dp(
                     path, row_codes, strings_l, scorevector[:ncols], ordered, i, n
                 )
         else:
+            from .. import native
+
             with PROFILER.phase("align.dp_fill"):
-                _, dirs = dp_fill(
+                # fused native fill + backtrack: only the O(R+C) path
+                # crosses out of C++ (the direction matrix of a large
+                # merge is hundreds of MB)
+                res = native.dp_fill_path(
                     row_codes, scorevector[:ncols], i,
-                    top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
-                )
+                    alloc_top[: ncols + 1], alloc_rowgap,
+                ) if len(row_codes) and ncols else None
             prev_consensussize = ncols
-            with PROFILER.phase("align.dp_merge"):
-                new_strings, new_sv, consensussize = backtrack_merge(
-                    dirs, row_codes, strings_l, scorevector[:ncols], ordered, i, n
-                )
+            if res is not None:
+                with PROFILER.phase("align.dp_merge"):
+                    new_strings, new_sv, consensussize = merge_from_path(
+                        res[1], row_codes, strings_l, scorevector[:ncols],
+                        ordered, i, n,
+                    )
+            else:
+                with PROFILER.phase("align.dp_fill"):
+                    _, dirs = dp_fill(
+                        row_codes, scorevector[:ncols], i,
+                        top_row=alloc_top[: ncols + 1],
+                        edge_rowgap=alloc_rowgap,
+                    )
+                with PROFILER.phase("align.dp_merge"):
+                    new_strings, new_sv, consensussize = backtrack_merge(
+                        dirs, row_codes, strings_l, scorevector[:ncols],
+                        ordered, i, n,
+                    )
         strings = new_strings
         scorevector = new_sv
         if i > 1:

@@ -62,6 +62,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.csa_dp_fill_path.restype = ctypes.c_int32
+    lib.csa_dp_fill_path.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.csa_linear_index.restype = ctypes.c_int32
     lib.csa_linear_index.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
@@ -101,6 +108,34 @@ def dp_fill_dirs(
         top.ctypes.data, int(edge_rowgap), dirs.ctypes.data
     )
     return int(score), dirs
+
+
+def dp_fill_path(
+    row_codes: np.ndarray,
+    scorevector: np.ndarray,
+    i: int,
+    top_row: np.ndarray,
+    edge_rowgap: int,
+):
+    """Native fill + backtrack; returns (score, walk-order path codes)
+    or None if no lib.  The direction matrix never crosses into Python
+    (see csa_host.cpp::csa_dp_fill_path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    R = len(row_codes)
+    C = len(scorevector)
+    codes = np.ascontiguousarray(row_codes, dtype=np.int8)
+    sv = np.ascontiguousarray(scorevector, dtype=np.int32)
+    top = np.ascontiguousarray(top_row, dtype=np.int32)
+    path = np.empty(R + C, dtype=np.int8)
+    plen = np.zeros(1, dtype=np.int32)
+    score = lib.csa_dp_fill_path(
+        codes.ctypes.data, R, sv.ctypes.data, C, int(i),
+        top.ctypes.data, int(edge_rowgap),
+        path.ctypes.data, plen.ctypes.data,
+    )
+    return int(score), path[: int(plen[0])]
 
 
 def dgc(usableseqs, strings, numseqs, scorevector, consize, maxnongaps):

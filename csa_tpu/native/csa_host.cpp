@@ -33,9 +33,9 @@ constexpr int8_t D_LEFT = 1;
 constexpr int8_t D_UP = 2;
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Profile NW fill.  row_codes: R entries in [0,4); sv: (C,5) int32
+// Profile NW fill core.  row_codes: R entries in [0,4); sv: (C,5) int32
 // row-major counts; i: number of previously aligned sequences.
 // top_row: C+1 boundary values for dp[0][*]; edge_rowgap: per-row scale
 // for dp[j][0] = j * edge_rowgap.  These are passed in because the
@@ -43,10 +43,10 @@ extern "C" {
 // the boundaries (dynamicprogramming.c:957-987), so they may be STALE
 // values from the allocating merge — reproduced for parity.
 // dirs out: (R+1)*(C+1) int8, row-major.  Returns dp[R][C].
-int32_t csa_dp_fill(const int8_t* row_codes, int32_t R,
-                    const int32_t* sv, int32_t C, int32_t i,
-                    const int32_t* top_row, int32_t edge_rowgap,
-                    int8_t* dirs) {
+int32_t dp_fill_core(const int8_t* row_codes, int32_t R,
+                     const int32_t* sv, int32_t C, int32_t i,
+                     const int32_t* top_row, int32_t edge_rowgap,
+                     int8_t* dirs) {
   const int32_t rowgap = INDEL * i;
   std::vector<int32_t> prev(C + 1), cur(C + 1);
   std::vector<int32_t> colgap(C + 1);
@@ -150,6 +150,59 @@ int32_t csa_dp_fill(const int8_t* row_codes, int32_t R,
     prev.swap(cur);
   }
   return prev[C];
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t csa_dp_fill(const int8_t* row_codes, int32_t R,
+                    const int32_t* sv, int32_t C, int32_t i,
+                    const int32_t* top_row, int32_t edge_rowgap,
+                    int8_t* dirs) {
+  return dp_fill_core(row_codes, R, sv, C, i, top_row, edge_rowgap, dirs);
+}
+
+// Fill + backtrack fused: the direction matrix stays native-side and
+// only the O(R+C) walk-order path codes cross into Python (same code
+// convention as progressive._dirs_to_maps: first entry = the step taken
+// at (R, C), boundary tails emitted as D_UP / D_LEFT).  path must hold
+// R + C entries; *path_len receives the walk length.  Returns dp[R][C].
+int32_t csa_dp_fill_path(const int8_t* row_codes, int32_t R,
+                         const int32_t* sv, int32_t C, int32_t i,
+                         const int32_t* top_row, int32_t edge_rowgap,
+                         int8_t* path, int32_t* path_len) {
+  // persistent scratch: the direction matrix of a large merge is
+  // hundreds of MB; per-call vector alloc/free page-faults the whole
+  // range every merge (measured ~18 s of sys time on Set3's 36 merges)
+  static thread_local std::vector<int8_t> dirs;
+  const size_t need = (size_t)(R + 1) * (C + 1);
+  if (dirs.size() < need) dirs.resize(need);
+  const int32_t score =
+      dp_fill_core(row_codes, R, sv, C, i, top_row, edge_rowgap, dirs.data());
+  int32_t j = R, c = C, n = 0;
+  while (j > 0 && c > 0) {
+    const int8_t d = dirs[(int64_t)j * (C + 1) + c];
+    path[n++] = d;
+    if (d == D_DIAG) {
+      --j;
+      --c;
+    } else if (d == D_LEFT) {
+      --c;
+    } else {
+      --j;
+    }
+  }
+  while (j > 0) {
+    path[n++] = D_UP;
+    --j;
+  }
+  while (c > 0) {
+    path[n++] = D_LEFT;
+    --c;
+  }
+  *path_len = n;
+  return score;
 }
 
 // Pairwise global NW score between two code strings with the simple
