@@ -51,6 +51,7 @@ _enable_compile_cache()
 
 ROTATION_BASELINE_S = 0.45      # reference `CSA R Primates.txt` user time
 FULL_PIPELINE_BASELINE_S = 9.5  # reference `CSA Primates.txt` user time
+SET3_BASELINE_S = 68.8          # reference `CSA Set3.txt` wall, this machine
 
 # VPU peak assumption for the %-of-peak figure (documented in
 # docs/PERFORMANCE.md): 8x128 lanes x 4 ALUs x ~1.6 GHz ~= 6.5e12 int32
@@ -118,7 +119,13 @@ def bench_full_pipeline():
             rc = cli.main([inp, "--backend", "native"])
         wall = time.perf_counter() - t0
         if rc != 0:
-            return wall, False
+            return wall, False, 0.0
+        shutil.copy(REPO / "tests" / "fixtures" / "Set3.txt", td)
+        inp3 = str(pathlib.Path(td, "Set3.txt"))
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()):
+            cli.main([inp3, "--backend", "native"])
+        set3_wall = time.perf_counter() - t0
         # the fixture was produced by `A` mode on the rotated file, whose
         # headers carry an extra " @ 0"; sequence lines must match exactly
         def _norm(text):
@@ -131,7 +138,7 @@ def bench_full_pipeline():
         got = _norm(pathlib.Path(td, "Primates-Aligned.fasta").read_bytes())
         want = _norm((REPO / "tests" / "fixtures" /
                       "Primates-Rotated-Aligned.fasta").read_bytes())
-        return wall, got == want
+        return wall, got == want, set3_wall
 
 
 def bench_kernel():
@@ -220,7 +227,7 @@ def main() -> None:
     seqs = _load_primates()
     rot_wall, rot_parity = bench_rotation(seqs, "auto")
     jax_wall, jax_parity = bench_rotation(seqs, "jax")
-    pipe_wall, aligned_identical = bench_full_pipeline()
+    pipe_wall, aligned_identical, set3_wall = bench_full_pipeline()
     kernel = bench_kernel()
     mbp_wall = bench_mbp()
 
@@ -235,6 +242,10 @@ def main() -> None:
             FULL_PIPELINE_BASELINE_S / pipe_wall, 2
         ),
         "aligned_fasta_byte_identical": aligned_identical,
+        "set3_full_pipeline_wall_s": round(set3_wall, 2),
+        "set3_vs_reference_wall": round(
+            SET3_BASELINE_S / set3_wall, 2
+        ) if set3_wall else None,
         "device_rotation_wall_s": round(jax_wall, 3),
         "device_rotation_parity": jax_parity,
         "mbp_rotation_8x1m_native_wall_s": round(mbp_wall, 1),

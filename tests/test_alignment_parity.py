@@ -18,6 +18,9 @@ from csa_tpu.rotation import pipeline as rot
 
 TINY = pathlib.Path(__file__).parent / "fixtures" / "tiny"
 SEEDS = [1, 3, 4, 6, 8]
+# adversarial generated sets (captured from the compiled reference):
+# tandem repeats, homopolymer runs, 8-seq high divergence, GC-skew
+ADVERSARIAL = sorted(p.stem for p in TINY.glob("a-*.txt"))
 
 
 def _rotated_codes(seqs, rotations):
@@ -26,9 +29,11 @@ def _rotated_codes(seqs, rotations):
     ]
 
 
-@pytest.mark.parametrize("seed", SEEDS)
-def test_tiny_full_pipeline_alignment_byte_identical(seed, tmp_path):
-    base = TINY / f"t{seed}"
+@pytest.mark.parametrize(
+    "name", [f"t{s}" for s in SEEDS] + ADVERSARIAL
+)
+def test_tiny_full_pipeline_alignment_byte_identical(name, tmp_path):
+    base = TINY / name
     seqs = fio.load_fasta(str(base) + ".txt", log=io.StringIO())
     res = rot.analyze(seqs, log=io.StringIO())
 
