@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2**24)
+UNROLL = 16  # diagonals per fori_loop step (amortizes loop overhead)
 
 
 def _nw_kernel(a_ref, br_ref, out_ref, dp1_ref, dp2_ref, bbuf_ref, *, dstar):
@@ -84,7 +85,7 @@ def _nw_kernel(a_ref, br_ref, out_ref, dp1_ref, dp2_ref, bbuf_ref, *, dstar):
         return
 
     prev_a = a_ref[:]
-    K = 16  # roll the big b buffer once per K diagonals (K static windows)
+    K = UNROLL  # roll the big b buffer once per K diagonals (static windows)
 
     def step(d, phase, dp1, rp, bbuf):
         # lane i of diagonal d needs b[d-i-1] = br[(TP-NP) - d + i];

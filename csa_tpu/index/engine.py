@@ -135,25 +135,21 @@ def collect_program(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
     seq_sorted = (sa // n_max).astype(jnp.int32)
     pos_sorted = (sa % n_max).astype(jnp.int32)
 
-    # ---- sparse tables: range min value and leftmost argmin of lcp ----
+    # ---- sparse table: range-min VALUES only.  The leftmost-argmin
+    # table of the round-1 design doubled the biggest allocation
+    # (2 x tlevels x N int32 was the HBM high-water mark at Mbp scale,
+    # docs/PERFORMANCE.md); argmins are instead derived from the value
+    # table by a threshold binary descent (see range_argmin below) ----
     tlevels = max(1, int(np.ceil(np.log2(max(n_total, 2)))) + 1)
     INF = jnp.int32(np.iinfo(np.int32).max)
     minv = [lcp]
-    mini = [jnp.arange(n_total, dtype=jnp.int32)]
     for t in range(tlevels - 1):
         half = 1 << t
-        prev_v, prev_i = minv[-1], mini[-1]
+        prev_v = minv[-1]
         shifted_v = jnp.concatenate([prev_v[half:], jnp.full(half, INF, jnp.int32)])
-        shifted_i = jnp.concatenate(
-            [prev_i[half:], jnp.full(half, n_total, jnp.int32)]
-        )
-        take_left = prev_v <= shifted_v  # leftmost on ties
-        minv.append(jnp.where(take_left, prev_v, shifted_v))
-        mini.append(jnp.where(take_left, prev_i, shifted_i))
+        minv.append(jnp.minimum(prev_v, shifted_v))
     minv_st = jnp.stack(minv)
-    mini_st = jnp.stack(mini)
     minv_flat = minv_st.reshape(-1)  # flattened: 1D gathers beat generic 2D
-    mini_flat = mini_st.reshape(-1)
 
     idx = jnp.arange(n_total, dtype=jnp.int32)
 
@@ -181,7 +177,14 @@ def collect_program(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
     end = nsv - 1  # interval end member (inclusive)
 
     def range_argmin(lo, hi):
-        """leftmost argmin of lcp over [lo, hi], elementwise; lo <= hi."""
+        """leftmost argmin of lcp over [lo, hi], elementwise; lo <= hi.
+
+        Two-phase, value-table only: (1) range min m via the classic
+        two-window lookup; (2) leftmost j in [lo, hi] with lcp[j] <= m by
+        binary descent — advance pos past every power-of-two window whose
+        min stays > m.  Since m IS the range min, the landing position is
+        exactly the leftmost argmin.
+        """
         span = jnp.maximum(hi - lo + 1, 1)
         # exact floor(log2(span)) via integer comparisons; the two windows
         # [lo, lo+2^tt) and [hi-2^tt+1, hi] cover since 2^(tt+1) > span
@@ -191,12 +194,17 @@ def collect_program(sa, lcp, lengths, *, k: int, n_max: int, levels: int):
         pow_tt = jnp.left_shift(jnp.int32(1), tt)
         base = tt * jnp.int32(n_total)
         lv = minv_flat[base + lo]
-        li = mini_flat[base + lo]
         rstart = hi - pow_tt + 1
         rv = minv_flat[base + rstart]
-        ri = mini_flat[base + rstart]
-        take_left = (lv < rv) | ((lv == rv) & (li <= ri))
-        return jnp.where(take_left, li, ri)
+        m = jnp.minimum(lv, rv)
+        pos = lo
+        for t in range(tlevels - 1, -1, -1):
+            j_end = pos + jnp.int32((1 << t) - 1)
+            ok = j_end <= hi
+            wv = minv_st[t][jnp.minimum(pos, n_total - 1)]
+            adv = ok & (wv > m)
+            pos = jnp.where(adv, pos + jnp.int32(1 << t), pos)
+        return pos
 
     # canonical boundary of the interval of boundary i: leftmost minimum in
     # [start+1, end] (non-empty whenever lcp[i] >= 1: i itself is inside)
