@@ -236,6 +236,14 @@ def compute_border_nodes(
     cap = idx.cap
     lcp = idx.lcp
 
+    if backend == "native":
+        from .. import native
+
+        res = native.anchor_attach(seq, lcp, cap, k)
+        if res is not None:
+            att, lb2 = res
+            return _group_border_nodes(idx, att, lb2)
+
     # matching statistic vs every other sequence: best lcp to the nearest
     # same-seq-j entry above/below, running-min of boundary lcps between
     INF = np.int64(1 << 60)
@@ -274,6 +282,15 @@ def compute_border_nodes(
 
     # node identity: interval run start at threshold att - 1
     lb2, _ = _nearest_le_threshold(lcp, att - 1)
+    return _group_border_nodes(idx, att, lb2)
+
+
+def _group_border_nodes(
+    idx: LinearIndex, att: np.ndarray, lb2: np.ndarray
+) -> List[BorderNode]:
+    """Group suffix entries into border nodes by (interval, depth)."""
+    k = idx.num_seqs
+    seq = idx.seq_of
     valid = att >= 1
 
     nodes: List[BorderNode] = []

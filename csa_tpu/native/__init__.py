@@ -74,6 +74,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.csa_anchor_attach.restype = ctypes.c_int32
+    lib.csa_anchor_attach.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -231,6 +237,27 @@ def linear_index(s: np.ndarray, sigma: int):
         ss.ctypes.data, total, int(sigma), sa.ctypes.data, lcp.ctypes.data
     )
     return sa, lcp
+
+
+def anchor_attach(seq_of: np.ndarray, lcp: np.ndarray, cap: np.ndarray,
+                  k: int):
+    """Native mstat/attachment stats over the linear suffix index;
+    returns (att, lb2) int64 arrays or None if no lib (numpy twin in
+    csa_tpu/align/anchors.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = len(lcp)
+    s32 = np.ascontiguousarray(seq_of, dtype=np.int32)
+    l32 = np.ascontiguousarray(lcp, dtype=np.int32)
+    c32 = np.ascontiguousarray(cap, dtype=np.int32)
+    att = np.empty(m, dtype=np.int32)
+    lb2 = np.empty(m, dtype=np.int32)
+    lib.csa_anchor_attach(
+        s32.ctypes.data, l32.ctypes.data, c32.ctypes.data, int(k), m,
+        att.ctypes.data, lb2.ctypes.data,
+    )
+    return att.astype(np.int64), lb2.astype(np.int64)
 
 
 def pairwise_nw(a: np.ndarray, b: np.ndarray):

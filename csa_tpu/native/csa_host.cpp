@@ -834,6 +834,125 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
   return 0;
 }
 
+// Anchor attachment stats over the linear suffix index (the numpy
+// semantics of csa_tpu/align/anchors.py::compute_border_nodes, exact):
+// per sorted entry x,
+//   mstat[x] = min over sequences j != seq[x] of the best LCP to the
+//              nearest j-entry above/below (running-min sweeps), capped
+//              by the suffix length cap[x];
+//   att[x]   = deepest boundary lcp <= mstat[x] adjacent to x's interval
+//              = max(lcp_ext[Lb], lcp_ext[Rb]) where Lb/Rb are the
+//              nearest positions (<=x / >x) with lcp <= mstat[x];
+//   lb2[x]   = nearest position <= x with lcp <= att[x]-1 (the node's
+//              interval run start, the border-node identity).
+// The nearest-<=-threshold queries use monotonic stacks with strictly
+// increasing values toward the top + binary search (the numpy twin uses
+// sparse-table descents; results are identical).
+int32_t csa_anchor_attach(const int32_t* seq, const int32_t* lcp,
+                          const int32_t* cap, int32_t k, int32_t m,
+                          int32_t* att, int32_t* lb2) {
+  if (m <= 0) return 0;
+  const int64_t INF = (int64_t(1) << 60);
+  std::vector<int64_t> mstat(m, INF);
+  std::vector<int64_t> down(m), up(m);
+  for (int32_t j = 0; j < k; ++j) {
+    // downward: nearest j-entry above (smaller index)
+    {
+      int64_t r = INF;
+      bool seen = false;
+      for (int32_t i = 0; i < m; ++i) {
+        if (seq[i] == j) {
+          seen = true;
+          r = INF;
+          down[i] = INF;  // own sequence: no constraint
+        } else {
+          if (seen && lcp[i] < r) r = lcp[i];
+          else if (!seen) { down[i] = -1; continue; }
+          down[i] = r;
+        }
+      }
+    }
+    // upward: nearest j-entry below (larger index); lcp_up[x] = lcp[x+1]
+    {
+      int64_t r = INF;
+      bool seen = false;
+      for (int32_t i = m - 1; i >= 0; --i) {
+        if (seq[i] == j) {
+          seen = true;
+          r = INF;
+          up[i] = INF;
+        } else if (!seen) {
+          up[i] = -1;
+        } else {
+          const int64_t lu = (i + 1 < m) ? lcp[i + 1] : 0;
+          if (lu < r) r = lu;
+          up[i] = r;
+        }
+      }
+    }
+    for (int32_t i = 0; i < m; ++i) {
+      if (seq[i] == j) continue;
+      int64_t mj = down[i] > up[i] ? down[i] : up[i];
+      if (mj < 0) mj = 0;
+      if (mj < mstat[i]) mstat[i] = mj;
+    }
+  }
+  for (int32_t i = 0; i < m; ++i)
+    if (cap[i] < mstat[i]) mstat[i] = cap[i];
+
+  // Rb pass (right-to-left; query BEFORE pushing x: j > x strictly).
+  // stack: positions with strictly increasing lcp toward the top
+  std::vector<int32_t> st;
+  std::vector<int32_t> rb(m);
+  st.reserve(64);
+  for (int32_t x = m - 1; x >= 0; --x) {
+    // nearest j > x with lcp[j] <= mstat[x]; m (sentinel value 0) if none
+    const int64_t t = mstat[x];
+    int32_t ans = m;
+    // prefix of the stack (bottom = farthest, smallest values) holds
+    // values <= t; we want the LAST such element (nearest)
+    int32_t lo = 0, hi = static_cast<int32_t>(st.size());
+    while (lo < hi) {
+      const int32_t mid = (lo + hi) / 2;
+      if (lcp[st[mid]] <= t) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo > 0) ans = st[lo - 1];
+    rb[x] = ans;
+    while (!st.empty() && lcp[st.back()] >= lcp[x]) st.pop_back();
+    st.push_back(x);
+  }
+  // Lb pass (left-to-right; push x BEFORE querying: j <= x inclusive),
+  // fused with att and the second (lb2, threshold att-1) query
+  st.clear();
+  for (int32_t x = 0; x < m; ++x) {
+    while (!st.empty() && lcp[st.back()] >= lcp[x]) st.pop_back();
+    st.push_back(x);
+    const int64_t t = mstat[x];
+    int32_t lo = 0, hi = static_cast<int32_t>(st.size());
+    while (lo < hi) {
+      const int32_t mid = (lo + hi) / 2;
+      if (lcp[st[mid]] <= t) lo = mid + 1;
+      else hi = mid;
+    }
+    const int32_t lb = lo > 0 ? st[lo - 1] : 0;
+    const int32_t lv = lcp[lb];
+    const int32_t rv = rb[x] < m ? lcp[rb[x]] : 0;
+    const int32_t a = lv > rv ? lv : rv;
+    att[x] = a;
+    const int64_t t2 = int64_t(a) - 1;
+    lo = 0;
+    hi = static_cast<int32_t>(st.size());
+    while (lo < hi) {
+      const int32_t mid = (lo + hi) / 2;
+      if (lcp[st[mid]] <= t2) lo = mid + 1;
+      else hi = mid;
+    }
+    lb2[x] = lo > 0 ? st[lo - 1] : 0;
+  }
+  return 0;
+}
+
 // Linear suffix index of one concatenated string (the alignment-phase
 // anchor workload: csa_tpu/align/anchors.py::build_linear_index, the
 // re-derivation of the reference's tree surgery

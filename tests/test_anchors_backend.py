@@ -68,3 +68,31 @@ def test_border_nodes_backends_agree_primates(fixtures_dir):
         assert len(a.positions) == len(b.positions)
         for pa, pb in zip(a.positions, b.positions):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_border_nodes_native_backend_agrees(fixtures_dir):
+    """Native anchor_attach (C++ mstat sweeps + monotonic-stack nearest
+    queries) must reproduce the numpy twin exactly, including on random
+    degenerate inputs."""
+    seqs = fio.load_fasta(str(fixtures_dir / "Primates.txt"), log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO(), backend="numpy")
+    enc = seqs.encoded_all()
+    rotated = [np.roll(e, -int(r)) for e, r in zip(enc, res.rotations)]
+    sets = [rotated]
+    rng = np.random.default_rng(21)
+    for _ in range(6):
+        k = int(rng.integers(2, 6))
+        sets.append(
+            [rng.integers(0, 4, size=int(rng.integers(40, 300)))
+             for _ in range(k)]
+        )
+    # homopolymers + duplicates: stress tie handling
+    sets.append([np.zeros(60, dtype=np.int64), np.zeros(60, dtype=np.int64) ])
+    for enc_set in sets:
+        nodes_np = anchors.compute_border_nodes(enc_set, backend="numpy")
+        nodes_nat = anchors.compute_border_nodes(enc_set, backend="native")
+        assert len(nodes_np) == len(nodes_nat)
+        for a, b in zip(nodes_np, nodes_nat):
+            assert a.size == b.size
+            for pa, pb in zip(a.positions, b.positions):
+                np.testing.assert_array_equal(pa, pb)
