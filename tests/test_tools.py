@@ -61,3 +61,27 @@ def test_integrity_check_detects_mismatch(tmp_path):
     assert "ERROR" in log.getvalue()
     b.write_text(">x\nAC--GT\n")
     assert files.test_alignment_output(str(a), str(b), log=io.StringIO())
+
+
+def test_sum_of_pairs_score_mammals_set3_reference_values():
+    """Reference `CSA S` ground truth captured from the compiled
+    reference on the Mammals and Set3 aligned fixtures."""
+    log = io.StringIO()
+    score = files.sum_of_pairs_score(
+        str(FIXTURES / "Mammals-Rotated-Aligned.fasta"), log=log
+    )
+    text = log.getvalue()
+    assert score == 468662
+    assert "Consensus size = 20736" in text
+    assert "Average gaps per sequence = 3950" in text
+    assert "Number of conserved columns = 7413" in text
+
+    log = io.StringIO()
+    score = files.sum_of_pairs_score(
+        str(FIXTURES / "Set3-Rotated-Aligned.fasta"), log=log
+    )
+    text = log.getvalue()
+    assert score == 1049049
+    assert "Consensus size = 28148" in text
+    assert "Average gaps per sequence = 11389" in text
+    assert "Number of conserved columns = 3438" in text
