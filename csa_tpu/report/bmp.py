@@ -36,14 +36,18 @@ def _build_palette(img: np.ndarray):
         [(pal_keys >> 16) & 0xFF, (pal_keys >> 8) & 0xFF, pal_keys & 0xFF],
         axis=1,
     ).astype(np.int32)
-    # nearest palette color for every pixel (vectorized over unique colors)
+    # nearest palette color for every pixel, vectorized over unique
+    # colors via the expanded form argmin(|p|^2 - 2 u.p) — |u|^2 is
+    # constant per row so the argmin (incl. first-min tie behavior) is
+    # identical to the squared distance, without materializing the
+    # (U, 256, 3) difference tensor
     ucol = np.stack(
         [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
-    ).astype(np.int32)
-    d = (
-        (ucol[:, None, :] - pal[None, :, :]) ** 2
-    ).sum(axis=2)
-    best = np.argmin(d, axis=1).astype(np.uint8)
+    ).astype(np.int64)
+    pal64 = pal.astype(np.int64)
+    up = ucol @ pal64.T  # (U, 256) exact integer dot products
+    pp = (pal64 ** 2).sum(axis=1)
+    best = np.argmin(pp[None, :] - 2 * up, axis=1).astype(np.uint8)
     return pal.astype(np.uint8), best[inverse].reshape(h, w)
 
 
