@@ -577,11 +577,6 @@ def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, ca
     return packed, rank_stack, sa, lcp, raw
 
 
-_full_rotation_device = functools.partial(
-    jax.jit, static_argnames=("k", "n_max", "levels", "cap", "slots")
-)(full_rotation_program)
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "n_max", "levels", "cap", "slots")
 )
