@@ -38,9 +38,30 @@ def _bucket(n: int, quantum: int = 1024) -> int:
     return ((n + quantum - 1) // quantum) * quantum
 
 
+# Cyclic prefix-doubling starts from a PACKED window: the level-0 rank is
+# the base-5 encoding of the first PACK_W cyclic chars (5**12 < 2**31),
+# resolving 12 chars with ZERO sorts; level t covers PACK_W << t chars.
+# This drops ~4 of the multi-key sort passes (the dominant device cost —
+# XLA TPU sort is comparator-network bound) and shrinks the rank stack
+# by the same factor.  Sub-PACK_W granularity (LCP tail, short
+# fingerprints) reads the code array directly.
+PACK_W = 12
+_ALPHA = 5  # alphabet (ACGT-)
+_SENT0 = _ALPHA ** PACK_W  # level-0 pad sentinel base (above all keys)
+
+
 def _num_levels(n_max: int) -> int:
+    """Number of packed cyclic rank levels (PACK_W << (levels-1) >= n_max)."""
     t = 1
-    while (1 << (t - 1)) < n_max:
+    while (PACK_W << (t - 1)) < n_max:
+        t += 1
+    return t
+
+
+def _linear_levels(total: int) -> int:
+    """Level count for the LINEAR suffix program (plain 1 << t windows)."""
+    t = 1
+    while (1 << (t - 1)) < total:
         t += 1
     return t
 
@@ -67,11 +88,19 @@ def device_index_program(codes, lengths, *, k: int, n_max: int, levels: int):
         return s * n_max + (p + off) % nn
 
     big = jnp.int32(n_total)
-    rank = jnp.where(valid, codes.reshape(-1).astype(jnp.int32), big + g)
+    cflat = codes.reshape(-1).astype(jnp.int32)
+    # level-0 rank: packed base-5 key of the first PACK_W cyclic chars
+    # (order-isomorphic to the lexicographic 12-prefix order, equal iff
+    # equal) — no sort needed; pad slots get unique sentinels above every
+    # real key
+    acc = jnp.zeros(n_total, jnp.int32)
+    for t in range(PACK_W):
+        acc = acc * _ALPHA + cflat[adv(g, jnp.int32(t))]
+    rank = jnp.where(valid, acc, jnp.int32(_SENT0) + g)
     rank_levels = [rank]
     order = None
     for t in range(levels - 1):
-        rank2 = rank[adv(g, jnp.int32(1 << t))]
+        rank2 = rank[adv(g, jnp.int32(PACK_W << t))]
         # ONE stable multi-key sort per level (lexicographic on the rank
         # pair); pure int32 — JAX default has x64 disabled, so a combined
         # 64-bit key would truncate
@@ -112,7 +141,15 @@ def device_index_program(codes, lengths, *, k: int, n_max: int, levels: int):
         ga = adv(a, off)
         gb = adv(b, off)
         eq = rank_stack[t][ga] == rank_stack[t][gb]
-        off = jnp.where(eq, off + jnp.int32(1 << t), off)
+        off = jnp.where(eq, off + jnp.int32(PACK_W << t), off)
+    # sub-PACK_W tail: after the window-12 check, <12 chars remain
+    # undetermined; compare chars sequentially with a stop flag (a +1
+    # step past a mismatch could otherwise re-match by accident)
+    still = jnp.ones(n_total - 1, dtype=bool)
+    for _ in range(PACK_W - 1):
+        eqc = cflat[adv(a, off)] == cflat[adv(b, off)]
+        still = still & eqc
+        off = jnp.where(still, off + 1, off)
     cap = jnp.minimum(n_of[a], n_of[b])
     raw = jnp.concatenate([jnp.zeros(1, jnp.int32), off.astype(jnp.int32)])
     lcp = jnp.concatenate(
@@ -323,7 +360,7 @@ def linear_suffix_order(s_real: np.ndarray):
     over the real entries only (sorted order, pads stripped)."""
     n = len(s_real)
     total = _bucket(max(n, 8))
-    levels = _num_levels(total)
+    levels = _linear_levels(total)
     s = np.zeros(total, dtype=np.int32)
     s[:n] = s_real
     sa, lcp = _linear_index_device(
@@ -352,7 +389,8 @@ def build_index_jax(encoded: Sequence[np.ndarray]) -> cyclic.RotationIndex:
     )
     if bool(dup):
         return cyclic.build_rotation_index(encoded)
-    return _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max)
+    return _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max,
+                              codes=jnp.asarray(codes))
 
 
 def collect_blocks_jax(
@@ -377,7 +415,8 @@ def collect_blocks_jax(
         sa, lcp, jsizes, k=k, n_max=n_max, levels=levels
     )
 
-    index = _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max)
+    index = _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max,
+                               codes=jnp.asarray(codes))
     mask = np.asarray(collected)
     cstart = np.asarray(start)[mask].astype(np.int64)
     cend = np.asarray(end)[mask].astype(np.int64)
@@ -658,10 +697,12 @@ def rotation_blocks_jax(encoded: Sequence[np.ndarray], cap: int = 4096):
             slots = _bucket(ndepth, 256)
 
 
-def _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max):
-    """Host RotationIndex view; the rank stack stays on the device and is
-    consulted via :func:`device_fingerprint` (tunnel transfers of the full
-    stack dominate wall time otherwise)."""
+def _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max,
+                       codes=None):
+    """Host RotationIndex view; the rank stack (and code matrix, for
+    sub-PACK_W fingerprints) stays on the device and is consulted via
+    :func:`device_fingerprint` (transfers of the full stack dominate wall
+    time otherwise)."""
     sa_np = np.asarray(sa)
     lcp_np = np.asarray(lcp).astype(np.int64)
     raw_np = np.asarray(raw).astype(np.int64)
@@ -687,53 +728,57 @@ def _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max):
         lcp=lcp_np[:m],
         num_seqs=k,
         raw_lcp=raw_np[:m],
-        device_ranks=rank_stack,
+        device_ranks=(rank_stack, codes),
         device_layout=(k, n_max),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("t", "n_max"))
-def _fingerprint_device(rank_stack, lengths, g_pad, off, *, t: int, n_max: int):
-    s = g_pad // n_max
-    p = g_pad % n_max
-    nn = jnp.maximum(lengths[s], 1)
-    g2 = s * n_max + (p + off) % nn
-    return rank_stack[t][g_pad], rank_stack[t][g2]
-
-
 @functools.partial(jax.jit, static_argnames=("n_max",))
-def _fingerprint_mixed_device(rank_stack, lengths, g_pad, t_arr, off_arr, *, n_max: int):
-    """Mixed-depth fingerprints in ONE dispatch: per-element rank level
-    ``t_arr`` and window offset ``off_arr`` (tunnel round-trips per depth
-    group dominate the rotation wall time otherwise)."""
+def _fingerprint_mixed_device(rank_stack, codes, lengths, g_pad, t_arr,
+                              off_arr, d_arr, *, n_max: int):
+    """Mixed-depth fingerprints in ONE dispatch.
+
+    Per element: for ``d >= PACK_W`` the classic two-overlapping-windows
+    rank pair (level ``t_arr``, second window at offset ``off_arr``);
+    for ``d < PACK_W`` the exact base-5 packed key of the first ``d``
+    chars (read from the code matrix) with r2 = -1 — same-d comparisons
+    only, so the two encodings never cross.
+    """
     s = g_pad // n_max
     p = g_pad % n_max
     nn = jnp.maximum(lengths[s], 1)
     g2 = s * n_max + (p + off_arr) % nn
     r1 = rank_stack[t_arr, g_pad]
     r2 = rank_stack[t_arr, g2]
+    cflat = codes.reshape(-1).astype(jnp.int32)
+    acc = jnp.zeros_like(g_pad)
+    for i in range(PACK_W - 1):
+        gi = s * n_max + (p + jnp.int32(i)) % nn
+        take = jnp.int32(i) < d_arr
+        acc = jnp.where(take, acc * _ALPHA + cflat[gi], acc)
+    short = d_arr < jnp.int32(PACK_W)
+    r1 = jnp.where(short, acc, r1)
+    r2 = jnp.where(short, jnp.int32(-1), r2)
     return r1, r2
 
 
-def device_fingerprint(index: cyclic.RotationIndex, g: np.ndarray, d: int):
-    """Fingerprint length-``d`` prefixes via on-device rank gathers."""
-    k, n_max = index.device_layout
-    g = np.asarray(g, dtype=np.int64)
-    seq = index.seq_of[g]
-    g_pad = (seq * n_max + index.pos_of[g]).astype(np.int32)
-    t = int(d).bit_length() - 1
-    lengths = index.n_of[index.offsets[:-1]].astype(np.int32)
-    r1, r2 = _fingerprint_device(
-        index.device_ranks,
-        jnp.asarray(lengths),
-        jnp.asarray(g_pad),
-        jnp.int32(d - (1 << t)),
-        t=t,
-        n_max=n_max,
+def _fingerprint_params(d: np.ndarray):
+    """Per-element packed level + second-window offset for d >= PACK_W
+    (zeros for shorter depths, which take the char-packed path)."""
+    d = np.asarray(d, dtype=np.int64)
+    q = np.maximum(d // PACK_W, 1)
+    t = np.zeros(len(d), dtype=np.int64)
+    qq = q.copy()
+    while np.any(qq > 1):
+        grow = qq > 1
+        t[grow] += 1
+        qq[grow] >>= 1
+    off = d - (np.int64(PACK_W) << t)
+    shortm = d < PACK_W
+    return (
+        np.where(shortm, 0, t).astype(np.int32),
+        np.where(shortm, 0, off).astype(np.int32),
     )
-    r1 = np.asarray(r1).astype(np.int64)
-    r2 = np.asarray(r2).astype(np.int64)
-    return r1 * np.int64(k * n_max + 1) + r2
 
 
 def device_fingerprint_mixed(index: cyclic.RotationIndex, g: np.ndarray, d: np.ndarray):
@@ -743,23 +788,27 @@ def device_fingerprint_mixed(index: cyclic.RotationIndex, g: np.ndarray, d: np.n
     d = np.asarray(d, dtype=np.int64)
     seq = index.seq_of[g]
     g_pad = (seq * n_max + index.pos_of[g]).astype(np.int32)
-    t = np.maximum(
-        np.int64(0),
-        (np.log2(np.maximum(d, 1)).astype(np.int64)),
-    )
-    # exact floor(log2(d)): fix up float rounding
-    t = np.where((np.int64(1) << (t + 1)) <= d, t + 1, t)
-    t = np.where((np.int64(1) << t) > d, t - 1, t)
-    off = (d - (np.int64(1) << t)).astype(np.int32)
+    t, off = _fingerprint_params(d)
     lengths = index.n_of[index.offsets[:-1]].astype(np.int32)
+    rank_stack, codes = index.device_ranks
     r1, r2 = _fingerprint_mixed_device(
-        index.device_ranks,
+        rank_stack,
+        codes,
         jnp.asarray(lengths),
         jnp.asarray(g_pad),
-        jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(t),
         jnp.asarray(off),
+        jnp.asarray(d.astype(np.int32)),
         n_max=n_max,
     )
     r1 = np.asarray(r1).astype(np.int64)
     r2 = np.asarray(r2).astype(np.int64)
     return r1 * np.int64(k * n_max + 1) + r2
+
+
+def device_fingerprint(index: cyclic.RotationIndex, g: np.ndarray, d: int):
+    """Fingerprint length-``d`` prefixes via on-device rank gathers."""
+    g = np.asarray(g, dtype=np.int64)
+    return device_fingerprint_mixed(
+        index, g, np.full(len(g), int(d), dtype=np.int64)
+    )
