@@ -553,6 +553,142 @@ def delete_gapped_columns(
 # below this cell count the native host kernel wins (measured on the
 # tunneled v5e: dispatch+path transfer ~1-2 ms vs ~0.5 Gcell/s host fill)
 DEVICE_MIN_CELLS = 1 << 21
+BATCH_DIRS_CAP = 1 << 30  # max padded batched direction-tensor bytes
+
+
+class GapProgressiveState:
+    """Step-wise host state of ONE gap's progressive merge sequence.
+
+    Factors the ProgressiveDP loop (dynamicprogramming.c:906-1171) into
+    ``prepare() -> fill inputs`` / ``apply(maps) -> merge + DGC`` steps
+    so independent gaps can run their i-th merges as one batched device
+    launch (:func:`progressive_dp_batched`) while the single-gap path
+    (:func:`progressive_dp`) drives the exact same transitions.
+    """
+
+    def __init__(self, gap_codes: List[np.ndarray]):
+        k = len(gap_codes)
+        self.k = k
+        self.gap_codes = gap_codes
+        gaplens = np.array([len(g) for g in gap_codes], dtype=np.int64)
+        self.ordered, self.lens = sort_sequences_for_dp(gaplens)
+        self.strings: List[Optional[np.ndarray]] = [None] * k
+        self.consensussize = self.lens[0]
+        n0 = self.ordered[0]
+        self.scorevector = np.zeros((self.consensussize, 5), dtype=np.int64)
+        cur = np.asarray(gap_codes[n0], dtype=np.int8)
+        self.strings[n0] = cur.copy()
+        if self.consensussize:
+            np.add.at(
+                self.scorevector,
+                (np.arange(self.consensussize), cur.astype(np.int64)),
+                1,
+            )
+        # emulated DP-matrix allocation state: the reference reallocates
+        # (and re-initializes the dp boundaries) only when the column
+        # count changed or the row count grew
+        # (dynamicprogramming.c:957-987); otherwise the boundary
+        # row/column keep the allocating merge's values
+        self.prev_consensussize = 0
+        self.prev_nrows = 0
+        self.alloc_top: Optional[np.ndarray] = None
+        self.alloc_rowgap = 0
+        self.i = 1
+
+    def _skip_trivial(self):
+        while self.i < self.k and self.lens[self.i] == 0:
+            n = self.ordered[self.i]
+            self.strings[n] = np.full(self.consensussize, GAP, dtype=np.int8)
+            self.i += 1
+
+    def prepare(self):
+        """Fill inputs of the next merge, or None when all merges done.
+
+        Returns (row_codes, scorevector view, i, top_row view,
+        edge_rowgap); mutates the emulated allocation state, so call it
+        exactly once per merge.
+        """
+        self._skip_trivial()
+        if self.i >= self.k:
+            return None
+        i = self.i
+        ncols = self.consensussize
+        nrows = self.lens[i]
+        if ncols != self.prev_consensussize or nrows > self.prev_nrows:
+            self.alloc_rowgap = INDEL * i
+            self.alloc_top = default_top_row(self.scorevector[:ncols], i)
+            self.prev_nrows = nrows
+        row_codes = np.asarray(self.gap_codes[self.ordered[i]], dtype=np.int64)
+        return (
+            row_codes,
+            self.scorevector[:ncols],
+            i,
+            self.alloc_top[: ncols + 1],
+            self.alloc_rowgap,
+        )
+
+    def apply(self, old_cols: np.ndarray, rows: np.ndarray):
+        """Merge the prepared sequence via alignment maps, then DGC."""
+        from ..utils.profiling import PROFILER
+
+        i = self.i
+        ncols = self.consensussize
+        n = self.ordered[i]
+        row_codes = np.asarray(self.gap_codes[n], dtype=np.int64)
+        strings_l = [None if s is None else s[:ncols] for s in self.strings]
+        with PROFILER.phase("align.dp_merge"):
+            new_strings, new_sv, consensussize = _merge_from_maps(
+                old_cols, rows, row_codes, strings_l,
+                self.scorevector[:ncols], self.ordered, i, n,
+            )
+        self.prev_consensussize = ncols
+        self.strings = new_strings
+        self.scorevector = new_sv
+        self.consensussize = consensussize
+        if i > 1:
+            with PROFILER.phase("align.dgc"):
+                self.consensussize = delete_gapped_columns(
+                    self.ordered, self.strings, i + 1, self.scorevector,
+                    self.consensussize, (i + 1) // 2,
+                )
+        self.i += 1
+
+    def results(self) -> List[np.ndarray]:
+        self._skip_trivial()
+        cs = self.consensussize
+        return [
+            (s[:cs] if s is not None else np.full(cs, GAP, dtype=np.int8))
+            for s in self.strings
+        ]
+
+
+def _fill_to_maps(prep, dp_backend: str):
+    """Run one prepared fill on the chosen backend; returns maps."""
+    row_codes, sv, i, top, erg = prep
+    nrows = len(row_codes)
+    ncols = len(sv)
+    from ..utils.profiling import PROFILER
+
+    PROFILER.add("dp_cells", nrows * ncols)
+    if dp_backend == "jax" and nrows * ncols >= DEVICE_MIN_CELLS:
+        from ..dp import wavefront
+
+        PROFILER.add("dp_device_dispatches", 1)
+        with PROFILER.phase("align.dp_fill"):
+            path = wavefront.dp_path_device(
+                row_codes, sv, i, top_row=top, edge_rowgap=erg
+            )
+        return _path_to_maps(path)
+    from .. import native
+
+    if nrows and ncols:
+        with PROFILER.phase("align.dp_fill"):
+            res = native.dp_fill_path(row_codes, sv, i, top, erg)
+        if res is not None:
+            return _path_to_maps(res[1])
+    with PROFILER.phase("align.dp_fill"):
+        _, dirs = dp_fill(row_codes, sv, i, top_row=top, edge_rowgap=erg)
+    return _dirs_to_maps(dirs, nrows, ncols)
 
 
 def progressive_dp(
@@ -569,102 +705,75 @@ def progressive_dp(
 
     dp_backend "jax" routes merges with >= DEVICE_MIN_CELLS cells to the
     accelerator (fill + backtrack both on device, only the O(R+C) path
-    transferred); smaller merges stay on the native host kernel.  Both
+    transferred); smaller merges stay on the native host kernel.  All
     paths produce identical direction decisions, so the output is
     backend-independent (tests/test_dp_wavefront.py).
     """
-    k = len(gap_codes)
-    gaplens = np.array([len(g) for g in gap_codes], dtype=np.int64)
-    ordered, lens = sort_sequences_for_dp(gaplens)
+    st = GapProgressiveState(gap_codes)
+    while True:
+        prep = st.prepare()
+        if prep is None:
+            break
+        old_cols, rows = _fill_to_maps(prep, dp_backend)
+        st.apply(old_cols, rows)
+    return st.results()
 
-    strings: List[Optional[np.ndarray]] = [None] * k
-    consensussize = lens[0]
-    n0 = ordered[0]
-    scorevector = np.zeros((consensussize, 5), dtype=np.int64)
-    cur = np.asarray(gap_codes[n0], dtype=np.int8)
-    strings[n0] = cur.copy()
-    if consensussize:
-        np.add.at(scorevector, (np.arange(consensussize), cur.astype(np.int64)), 1)
 
-    # emulated DP-matrix allocation state: the reference reallocates (and
-    # re-initializes the dp boundaries) only when the column count changed
-    # or the row count grew (dynamicprogramming.c:957-987); otherwise the
-    # boundary row/column keep the allocating merge's values
-    prev_consensussize = 0
-    prev_nrows = 0
-    alloc_top: Optional[np.ndarray] = None
-    alloc_rowgap = 0
+def progressive_dp_batched(
+    gaps: List[List[np.ndarray]],
+    *,
+    min_batch: int = 2,
+) -> List[List[np.ndarray]]:
+    """Align MANY independent inter-anchor gaps, batching the i-th merge
+    of every gap into ONE padded device launch (alignment.c:179-208:
+    each gap is an independent sub-problem; SURVEY.md §7 M2).
 
-    for i in range(1, k):
-        ncols = consensussize
-        n = ordered[i]
-        if lens[i] == 0:
-            strings[n] = np.full(ncols, GAP, dtype=np.int8)
-            continue
-        nrows = lens[i]
-        if ncols != prev_consensussize or nrows > prev_nrows:
-            alloc_rowgap = INDEL * i
-            alloc_top = default_top_row(scorevector[:ncols], i)
-            prev_nrows = nrows
-        row_codes = np.asarray(gap_codes[n], dtype=np.int64)
-        strings_l = [
-            None if s is None else s[:ncols] for s in strings
-        ]
-        from ..utils.profiling import PROFILER
+    Host state transitions (merge + DeleteGappedColumns) are the exact
+    single-gap ones, so output is identical to per-gap progressive_dp.
+    """
+    from ..dp import wavefront
+    from ..utils.profiling import PROFILER
 
-        PROFILER.add("dp_cells", nrows * ncols)
-        if dp_backend == "jax" and nrows * ncols >= DEVICE_MIN_CELLS:
-            from ..dp import wavefront
-
+    states = [GapProgressiveState(g) for g in gaps]
+    while True:
+        preps = []
+        for idx, st in enumerate(states):
+            p = st.prepare()
+            if p is not None:
+                preps.append((idx, p))
+        if not preps:
+            break
+        # degenerate fills (empty rows/cols) take the host path; the
+        # rest go to the device as one batch
+        dev = [(idx, p) for idx, p in preps if len(p[0]) and len(p[1])]
+        host = [(idx, p) for idx, p in preps if not (len(p[0]) and len(p[1]))]
+        if dev:
+            # the batched direction tensor is Gp x Rp x Cp int8; when a
+            # few giant gaps dominate (Set3: ~17k x 28k merges), padding
+            # every lane to the max would blow HBM — run those per-gap
+            # on the device instead
+            gmax = max(8, 1 << (len(dev) - 1).bit_length())
+            rmax = max(len(p[0]) for _, p in dev)
+            cmax = max(len(p[1]) for _, p in dev)
+            if gmax * (rmax + 512) * (cmax + 512) > BATCH_DIRS_CAP:
+                for idx, p in dev:
+                    old_cols, rows = _fill_to_maps(p, "jax")
+                    states[idx].apply(old_cols, rows)
+                dev = []
+        if len(dev) >= min_batch:
+            for (idx, p) in dev:
+                PROFILER.add("dp_cells", len(p[0]) * len(p[1]))
             PROFILER.add("dp_device_dispatches", 1)
             with PROFILER.phase("align.dp_fill"):
-                path = wavefront.dp_path_device(
-                    row_codes, scorevector[:ncols], i,
-                    top_row=alloc_top[: ncols + 1], edge_rowgap=alloc_rowgap,
+                paths = wavefront.dp_paths_device_batched(
+                    [p for _, p in dev]
                 )
-            prev_consensussize = ncols
-            with PROFILER.phase("align.dp_merge"):
-                new_strings, new_sv, consensussize = merge_from_path(
-                    path, row_codes, strings_l, scorevector[:ncols], ordered, i, n
-                )
+            for (idx, _), path in zip(dev, paths):
+                old_cols, rows = _path_to_maps(path)
+                states[idx].apply(old_cols, rows)
         else:
-            from .. import native
-
-            with PROFILER.phase("align.dp_fill"):
-                # fused native fill + backtrack: only the O(R+C) path
-                # crosses out of C++ (the direction matrix of a large
-                # merge is hundreds of MB)
-                res = native.dp_fill_path(
-                    row_codes, scorevector[:ncols], i,
-                    alloc_top[: ncols + 1], alloc_rowgap,
-                ) if len(row_codes) and ncols else None
-            prev_consensussize = ncols
-            if res is not None:
-                with PROFILER.phase("align.dp_merge"):
-                    new_strings, new_sv, consensussize = merge_from_path(
-                        res[1], row_codes, strings_l, scorevector[:ncols],
-                        ordered, i, n,
-                    )
-            else:
-                with PROFILER.phase("align.dp_fill"):
-                    _, dirs = dp_fill(
-                        row_codes, scorevector[:ncols], i,
-                        top_row=alloc_top[: ncols + 1],
-                        edge_rowgap=alloc_rowgap,
-                    )
-                with PROFILER.phase("align.dp_merge"):
-                    new_strings, new_sv, consensussize = backtrack_merge(
-                        dirs, row_codes, strings_l, scorevector[:ncols],
-                        ordered, i, n,
-                    )
-        strings = new_strings
-        scorevector = new_sv
-        if i > 1:
-            with PROFILER.phase("align.dgc"):
-                consensussize = delete_gapped_columns(
-                    ordered, strings, i + 1, scorevector, consensussize, (i + 1) // 2
-                )
-    return [
-        (s[:consensussize] if s is not None else np.full(consensussize, GAP, dtype=np.int8))
-        for s in strings
-    ]
+            host = host + dev
+        for idx, p in host:
+            old_cols, rows = _fill_to_maps(p, "numpy")
+            states[idx].apply(old_cols, rows)
+    return [st.results() for st in states]

@@ -91,6 +91,13 @@ def run_alignment(
     first.next = last
     _update_gap_sizes(first, textsizes)
 
+    # dp_backend jax: DP segments are mutually independent sub-problems
+    # (alignment.c:179-208) whose results never feed the anchoring loop,
+    # so defer them and batch the i-th merges of every gap into single
+    # device launches (SURVEY §7 M2)
+    defer = dp_backend in ("jax", "sharded")
+    deferred: List[Segment] = []
+
     startsegment = first
     while startsegment is not last:
         endsegment = startsegment.next
@@ -108,12 +115,38 @@ def run_alignment(
                 chain, startsegment, endsegment, textsizes
             )
         if count == 0:
-            _progressive_dp_segment(
-                startsegment, rotated_codes, log=log, dp_backend=dp_backend
-            )
+            if defer:
+                if startsegment.maxgapsize != 0:
+                    deferred.append(startsegment)
+            else:
+                _progressive_dp_segment(
+                    startsegment, rotated_codes, log=log, dp_backend=dp_backend
+                )
             startsegment = startsegment.next
             continue
+    if deferred:
+        gaps = [_gap_codes(seg, rotated_codes) for seg in deferred]
+        results = progressive.progressive_dp_batched(gaps)
+        for seg, strings in zip(deferred, results):
+            print(
+                f"[({seg.mingapsize:<4}-{seg.maxgapsize:>4})",
+                end="",
+                file=log,
+            )
+            seg.alignedstrings = strings
+            consize = len(strings[0]) if strings else 0
+            print(f"->{consize:>4}]", file=log)
     return AlignmentResult(first, last)
+
+
+def _gap_codes(segment: Segment, rotated_codes: List[np.ndarray]):
+    k = len(rotated_codes)
+    out = []
+    for i in range(k):
+        start = int(segment.positions[i]) + segment.size
+        end = int(segment.next.positions[i])
+        out.append(np.asarray(rotated_codes[i][start:end], dtype=np.int8))
+    return out
 
 
 def _set_alignment_map_segments(
@@ -167,12 +200,7 @@ def _progressive_dp_segment(
         end="",
         file=log,
     )
-    k = len(rotated_codes)
-    gap_codes = []
-    for i in range(k):
-        start = int(segment.positions[i]) + segment.size
-        end = int(segment.next.positions[i])
-        gap_codes.append(np.asarray(rotated_codes[i][start:end], dtype=np.int8))
+    gap_codes = _gap_codes(segment, rotated_codes)
     strings = progressive.progressive_dp(gap_codes, dp_backend=dp_backend)
     segment.alignedstrings = strings
     consize = len(strings[0]) if strings else 0

@@ -108,8 +108,7 @@ def _rowscan_program(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int):
     return _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, R=R, C=C)
 
 
-@functools.partial(jax.jit, static_argnames=("R", "C"))
-def _rowscan_path_program(
+def _rowscan_path(
     codes, sv, i, top_row, edge_rowgap, r_real, c_real, *, R: int, C: int
 ):
     """Fused fill + device backtrack.
@@ -153,6 +152,11 @@ def _rowscan_path_program(
         cond, body, (r_real, c_real, jnp.int32(0), path0)
     )
     return path, nsteps
+
+
+_rowscan_path_program = functools.partial(
+    jax.jit, static_argnames=("R", "C")
+)(_rowscan_path)
 
 
 def _pad_args(row_codes, scorevector, top_row):
@@ -230,3 +234,64 @@ def dp_path_device(
     )
     n = int(nsteps)
     return np.asarray(path)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("R", "C"))
+def _batched_path_program(codes, sv, iv, top, erg, rr, cc, *, R: int, C: int):
+    """vmap of the fused fill + backtrack over a leading gap axis.
+
+    codes (G, R) int32; sv (G, C, 5); iv/erg/rr/cc (G,) int32;
+    top (G, C+1) int32.  Returns (paths (G, R+C) int8, nsteps (G,)).
+    """
+    return jax.vmap(
+        lambda c_, s_, i_, t_, e_, r_, cc_: _rowscan_path(
+            c_, s_, i_, t_, e_, r_, cc_, R=R, C=C
+        )
+    )(codes, sv, iv, top, erg, rr, cc)
+
+
+def dp_paths_device_batched(items):
+    """Batched device fill + backtrack for MANY independent gap merges.
+
+    ``items``: list of (row_codes, scorevector, i, top_row, edge_rowgap)
+    tuples (the output of :meth:`GapProgressiveState.prepare`); pads all
+    instances to one bucketed (R, C) and runs a single vmapped program —
+    the i-th merges of every inter-anchor gap become ONE launch
+    (alignment.c:179-208 independence).  Returns the per-item walk-order
+    path codes.
+    """
+    G = len(items)
+    q = PAD_QUANTUM
+    # bucket the batch axis too (pad with trivial 1x1 instances whose
+    # results are dropped) — G shrinks as gaps finish their merges, and
+    # every distinct G would otherwise be a fresh compile
+    Gp = max(8, 1 << (G - 1).bit_length())
+    Rmax = max(len(it[0]) for it in items)
+    Cmax = max(len(it[1]) for it in items)
+    Rp = max(q, -(-Rmax // q) * q)
+    Cp = max(q, -(-Cmax // q) * q)
+    codes = np.zeros((Gp, Rp), dtype=np.int32)
+    sv = np.zeros((Gp, Cp, 5), dtype=np.int32)
+    top = np.zeros((Gp, Cp + 1), dtype=np.int32)
+    iv = np.ones(Gp, dtype=np.int32)
+    erg = np.full(Gp, -1, dtype=np.int32)
+    rr = np.ones(Gp, dtype=np.int32)
+    cc = np.ones(Gp, dtype=np.int32)
+    for gdx, (row_codes, svec, i, top_row, e) in enumerate(items):
+        R = len(row_codes)
+        C = len(svec)
+        codes[gdx, :R] = row_codes
+        sv[gdx, :C] = svec
+        top[gdx, : C + 1] = top_row[: C + 1]
+        iv[gdx] = i
+        erg[gdx] = e
+        rr[gdx] = R
+        cc[gdx] = C
+    paths, nsteps = _batched_path_program(
+        jnp.asarray(codes), jnp.asarray(sv), jnp.asarray(iv),
+        jnp.asarray(top), jnp.asarray(erg), jnp.asarray(rr),
+        jnp.asarray(cc), R=Rp, C=Cp,
+    )
+    paths = np.asarray(paths)
+    nsteps = np.asarray(nsteps)
+    return [paths[gdx, : int(nsteps[gdx])] for gdx in range(G)]

@@ -90,3 +90,59 @@ def test_progressive_dp_backend_jax_identical():
     finally:
         progressive.DEVICE_MIN_CELLS = saved
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_progressive_dp_batched_identical():
+    """progressive_dp_batched (one padded device launch per merge step
+    across gaps) == per-gap progressive_dp, including degenerate gaps."""
+    rng = np.random.default_rng(17)
+    gap_sets = []
+    for g in range(6):
+        k = int(rng.integers(2, 6))
+        gaps = [
+            rng.integers(0, 4, size=int(rng.integers(0, 150))).astype(np.int8)
+            for _ in range(k)
+        ]
+        gap_sets.append(gaps)
+    gap_sets.append([np.zeros(0, dtype=np.int8), np.zeros(0, dtype=np.int8)])
+    singles = [
+        progressive.progressive_dp([g.copy() for g in gaps])
+        for gaps in gap_sets
+    ]
+    batched = progressive.progressive_dp_batched(
+        [[g.copy() for g in gaps] for gaps in gap_sets]
+    )
+    for a, b in zip(singles, batched):
+        assert len(a) == len(b)
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_run_alignment_deferred_batch_byte_identical(fixtures_dir):
+    """Full alignment with dp_backend=jax (deferred, batched gap DP) must
+    byte-match the host path on a real set."""
+    import io
+
+    from csa_tpu.align import runner
+    from csa_tpu.io import fasta as fio
+    from csa_tpu.rotation import pipeline as rot
+
+    seqs = fio.load_fasta(str(fixtures_dir / "Primates.txt"), log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO(), backend="numpy")
+    rotated = [
+        np.roll(e, -int(r)) for e, r in zip(seqs.encoded_all(), res.rotations)
+    ]
+    host = runner.run_alignment(
+        [r.copy() for r in rotated], log=io.StringIO(), dp_backend="numpy"
+    )
+    dev = runner.run_alignment(
+        [r.copy() for r in rotated], log=io.StringIO(), dp_backend="jax"
+    )
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        fa = pathlib.Path(td, "a.fasta")
+        fb = pathlib.Path(td, "b.fasta")
+        runner.save_alignment(str(fa), host, rotated, seqs.names,
+                              res.rotations, log=io.StringIO())
+        runner.save_alignment(str(fb), dev, rotated, seqs.names,
+                              res.rotations, log=io.StringIO())
+        assert fa.read_bytes() == fb.read_bytes()
