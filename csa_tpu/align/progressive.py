@@ -748,18 +748,28 @@ def progressive_dp_batched(
         dev = [(idx, p) for idx, p in preps if len(p[0]) and len(p[1])]
         host = [(idx, p) for idx, p in preps if not (len(p[0]) and len(p[1]))]
         if dev:
-            # the batched direction tensor is Gp x Rp x Cp int8; when a
-            # few giant gaps dominate (Set3: ~17k x 28k merges), padding
-            # every lane to the max would blow HBM — run those per-gap
-            # on the device instead
-            gmax = max(8, 1 << (len(dev) - 1).bit_length())
-            rmax = max(len(p[0]) for _, p in dev)
-            cmax = max(len(p[1]) for _, p in dev)
-            if gmax * (rmax + 512) * (cmax + 512) > BATCH_DIRS_CAP:
-                for idx, p in dev:
-                    old_cols, rows = _fill_to_maps(p, "jax")
-                    states[idx].apply(old_cols, rows)
-                dev = []
+            # the batched direction tensor is Gp x Rp x Cp int8; a few
+            # giant gaps (Primates' 4.6 kbp control region, Set3's
+            # ~17k x 28k merges) would force every lane to their padded
+            # dims.  Partition by size: grow the batch smallest-first
+            # while the padded tensor stays under the cap; the leftover
+            # giants run as individual device launches.
+            dev.sort(key=lambda ip: len(ip[1][0]) * len(ip[1][1]))
+            batch = []
+            rmax = cmax = 0
+            for item in dev:
+                r = max(rmax, len(item[1][0]))
+                c = max(cmax, len(item[1][1]))
+                gp = max(8, 1 << max(0, len(batch)).bit_length())
+                if gp * (r + 512) * (c + 512) > BATCH_DIRS_CAP and batch:
+                    break
+                batch.append(item)
+                rmax, cmax = r, c
+            giants = dev[len(batch):]
+            for idx, p in giants:
+                old_cols, rows = _fill_to_maps(p, "jax")
+                states[idx].apply(old_cols, rows)
+            dev = batch
         if len(dev) >= min_batch:
             for (idx, p) in dev:
                 PROFILER.add("dp_cells", len(p[0]) * len(p[1]))
@@ -772,7 +782,11 @@ def progressive_dp_batched(
                 old_cols, rows = _path_to_maps(path)
                 states[idx].apply(old_cols, rows)
         else:
-            host = host + dev
+            # sub-batch leftovers keep the per-merge device routing
+            # (device for >= DEVICE_MIN_CELLS, native below)
+            for idx, p in dev:
+                old_cols, rows = _fill_to_maps(p, "jax")
+                states[idx].apply(old_cols, rows)
         for idx, p in host:
             old_cols, rows = _fill_to_maps(p, "numpy")
             states[idx].apply(old_cols, rows)
