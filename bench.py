@@ -25,8 +25,10 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import pathlib
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -223,13 +225,55 @@ def bench_mbp():
     return time.perf_counter() - t0
 
 
+def device_parts() -> dict:
+    """Chip-dependent measurements (compiles may take minutes when the
+    remote compile service is loaded; run under a watchdog)."""
+    seqs = _load_primates()
+    jax_wall, jax_parity = bench_rotation(seqs, "jax")
+    out = {
+        "device_rotation_wall_s": round(jax_wall, 3),
+        "device_rotation_parity": jax_parity,
+    }
+    out.update(bench_kernel())
+    return out
+
+
+DEVICE_BUDGET_S = float(os.environ.get("CSA_TPU_BENCH_DEVICE_BUDGET", 2400))
+
+
 def main() -> None:
+    if "--device-parts" in sys.argv:
+        print(json.dumps(device_parts()))
+        return
+
     seqs = _load_primates()
     rot_wall, rot_parity = bench_rotation(seqs, "auto")
-    jax_wall, jax_parity = bench_rotation(seqs, "jax")
     pipe_wall, aligned_identical, set3_wall = bench_full_pipeline()
-    kernel = bench_kernel()
     mbp_wall = bench_mbp()
+
+    # the device measurements hang on the remote XLA compile service when
+    # it is degraded; a watchdog subprocess keeps the JSON line landing
+    # either way (device fields null + an error note on timeout)
+    dev: dict = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--device-parts"],
+            capture_output=True, text=True, timeout=DEVICE_BUDGET_S,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                dev = json.loads(line)
+                break
+        if not dev:
+            dev = {"device_measurement_error":
+                   (proc.stderr or "no JSON output")[-300:]}
+    except subprocess.TimeoutExpired:
+        dev = {"device_measurement_error":
+               f"device parts exceeded {DEVICE_BUDGET_S:.0f}s "
+               "(remote compile service)"}
+    except Exception as e:  # never lose the host numbers
+        dev = {"device_measurement_error": f"{type(e).__name__}: {e}"[:300]}
 
     out = {
         "metric": "primates_rotation_wall_s",
@@ -246,11 +290,9 @@ def main() -> None:
         "set3_vs_reference_wall": round(
             SET3_BASELINE_S / set3_wall, 2
         ) if set3_wall else None,
-        "device_rotation_wall_s": round(jax_wall, 3),
-        "device_rotation_parity": jax_parity,
         "mbp_rotation_8x1m_native_wall_s": round(mbp_wall, 1),
     }
-    out.update(kernel)
+    out.update(dev)
     print(json.dumps(out))
 
 
