@@ -61,15 +61,14 @@ def analyze(
     encoded = seqs.encoded_all()
 
     if backend == "auto":
-        # native host engine wins the latency-bound small regime; the
-        # device engine owns Mbp-scale inputs (see docs/PERFORMANCE.md)
+        # the native radix-sort engine wins every size measured on this
+        # hardware (docs/PERFORMANCE.md: 12x at 16 kbp, 8x1 Mbp in 14 s,
+        # 4x5 Mbp in 152 s, vs sort-bound device execution + a remote
+        # XLA compile service of highly variable latency); the device
+        # engines are explicit opt-ins (--backend jax / sharded)
         from .. import native
 
-        total = int(np.sum(sizes))
-        if native.available() and total < 2_000_000:
-            backend = "native"
-        else:
-            backend = "jax"
+        backend = "native" if native.available() else "jax"
 
     from ..utils.profiling import PROFILER
 
