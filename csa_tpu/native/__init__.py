@@ -74,6 +74,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.csa_set_mt_threshold.restype = None
+    lib.csa_set_mt_threshold.argtypes = [ctypes.c_int64]
     lib.csa_anchor_attach.restype = ctypes.c_int32
     lib.csa_anchor_attach.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -86,6 +88,16 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def set_mt_threshold(cells: int) -> bool:
+    """Set the two-thread DP-fill dispatch threshold (cells); <= 0
+    restores the default.  Returns False when the library is missing."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.csa_set_mt_threshold(int(cells))
+    return True
 
 
 def dp_fill_dirs(
@@ -141,6 +153,8 @@ def dp_fill_path(
         top.ctypes.data, int(edge_rowgap),
         path.ctypes.data, plen.ctypes.data,
     )
+    if int(plen[0]) == 0 and (R or C):
+        return None  # scratch allocation failure: use the numpy twin
     return int(score), path[: int(plen[0])]
 
 

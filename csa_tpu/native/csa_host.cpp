@@ -11,11 +11,14 @@
 // Build: make -C csa_tpu/native   (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
+#include <thread>
 #include <vector>
 
 #if defined(__AVX512F__)
@@ -35,6 +38,256 @@ constexpr int8_t D_UP = 2;
 
 namespace {
 
+// --- Profile NW fill: per-row phases -------------------------------------
+//
+// m1/d1 precompute: max(diag, up) with the diag-preferred tie-break is
+// vectorizable.  Tie-break equivalence with the reference
+// (diag >= up >= left preference): left wins over m1 iff left > m1, or
+// left == m1 and m1 came from up.
+//
+// The left-extension chain cur[c] = max(m1[c], cur[c-1] + cg[c]) is a
+// max-plus prefix scan with the closed form (same trick as the device
+// row-scan, csa_tpu/dp/wavefront.py): with S = prefix-sum(cg) and
+// T[c] = cur[c] - S[c],  T[c] = max(T[c-1], m1[c] - S[c]) — a plain
+// running max.  That shrinks the serial work to one add (S) and one
+// max (T) per cell; everything else (m1, u, cur, directions) is
+// straight-line vector code the compiler auto-vectorizes.  Directions
+// are recomputed exactly afterward from the settled cur values: the
+// chain value never depends on the tie-break, only the direction does.
+//
+// The phases are range-parameterized so a second thread can take the
+// high half of every row in lockstep (see FillWorker below): phase A and
+// phase C are embarrassingly parallel over columns; only the prefix-max
+// carry crosses the split point, once per row.
+
+// Phase A over 1-based columns [lo, hi]: m1/d1/u from the settled
+// previous row.
+inline void fill_phase_a(const int32_t* __restrict pv,
+                         const int32_t* __restrict subrow, int32_t rowgap,
+                         const int32_t* __restrict Sp,
+                         int32_t* __restrict m1p, int8_t* __restrict d1p,
+                         int32_t* __restrict up_, int32_t lo, int32_t hi) {
+  for (int32_t c = lo; c <= hi; ++c) {
+    const int32_t diag = pv[c - 1] + subrow[c - 1];
+    const int32_t up = pv[c] + rowgap;
+    const bool dwin = diag >= up;
+    const int32_t m = dwin ? diag : up;
+    m1p[c] = m;
+    d1p[c] = dwin ? D_DIAG : D_UP;
+    up_[c] = m - Sp[c];
+  }
+}
+
+// Inclusive running max of up_[lo..hi] in place, seeded with t; returns
+// the final running max.  With random profiles a branchy `if`
+// mispredicts nearly every cell (measured 0.23 -> 1.2 Gcell/s going
+// branchless); the AVX-512 path does the inclusive prefix max
+// in-register (4 alignr+max steps + carry broadcast).
+inline int32_t prefix_max_inplace(int32_t* __restrict up_, int32_t lo,
+                                  int32_t hi, int32_t t) {
+  int32_t c = lo;
+#if defined(__AVX512F__)
+  __m512i carry = _mm512_set1_epi32(t);
+  const __m512i z = _mm512_set1_epi32(INT32_MIN);
+  for (; c + 16 <= hi + 1; c += 16) {
+    __m512i v = _mm512_loadu_si512((const void*)(up_ + c));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 15));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 14));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 12));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 8));
+    v = _mm512_max_epi32(v, carry);
+    _mm512_storeu_si512((void*)(up_ + c), v);
+    carry = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), v);
+  }
+  t = _mm_cvtsi128_si32(_mm512_castsi512_si128(carry));
+#endif
+  for (; c <= hi; ++c) {
+    t = up_[c] > t ? up_[c] : t;
+    up_[c] = t;
+  }
+  return t;
+}
+
+// Phase C over [lo, hi]: settled cur values + exact reference
+// directions.  left = cur[c-1] + cg[c]; cur[c-1] is settled
+// (= T[c-1] + S[c-1]), so read it from up_/Sp to keep the loop
+// dependence-free for the vectorizer.
+inline void fill_phase_c(int32_t* __restrict cu,
+                         const int32_t* __restrict up_,
+                         const int32_t* __restrict Sp,
+                         const int32_t* __restrict cg,
+                         const int32_t* __restrict m1p,
+                         const int8_t* __restrict d1p,
+                         int8_t* __restrict drow, int32_t lo, int32_t hi) {
+  for (int32_t c = lo; c <= hi; ++c) {
+    cu[c] = up_[c] + Sp[c];
+    const int32_t left = up_[c - 1] + Sp[c - 1] + cg[c];
+    const bool take_left =
+        (left > m1p[c]) | ((left == m1p[c]) & (d1p[c] == D_UP));
+    drow[c] = take_left ? D_LEFT : d1p[c];
+  }
+}
+
+inline void cpu_pause() {
+#if defined(__x86_64__)
+  __builtin_ia32_pause();
+#endif
+}
+
+// Shared state of one two-thread fill.  Rows alternate between buf[0]
+// and buf[1] by parity (row j writes buf[j & 1]), so neither thread
+// needs a pointer swap barrier.
+struct FillJob {
+  const int8_t* row_codes;
+  const int32_t* subcol;
+  const int32_t* Sp;
+  const int32_t* cg;
+  int32_t* buf[2];
+  int32_t* m1p;
+  int8_t* d1p;
+  int32_t* up_;
+  int8_t* dirs;
+  int32_t R, C, Cmid, rowgap, edge_rowgap;
+};
+
+// Persistent second thread running the high half [Cmid+1, C] of every
+// row, pipelined against the caller (low half).  The decomposition is
+// conflict-free by column range: the caller only ever touches columns
+// [0, Cmid] of the row buffers / m1 / d1 / u, the worker only
+// [Cmid+1, C], so neither needs a per-row barrier.  Exactly two scalars
+// cross the split per row, both published through 4-deep rings:
+//
+//   * the low half's prefix-max carry T[Cmid] (the worker scans its half
+//     with an INT32_MIN seed concurrently and fixes up with an
+//     elementwise max — running max is monotone, so
+//     max(local_scan, carry) == the true seeded scan);
+//   * the boundary value cur[Cmid], which the worker's phase A reads as
+//     pv[c-1] at its first column.
+//
+// The caller may run up to MAX_LEAD rows ahead of the worker (the rings
+// hold 4 entries, and the lead bound keeps ring slots from being
+// overwritten before the worker consumes them), so transient scheduling
+// jitter on either thread is absorbed instead of stalling every row.
+// Between fills the worker blocks on a futex-backed atomic wait, so an
+// idle worker costs nothing while the host runs merges /
+// DeleteGappedColumns.
+class FillWorker {
+ public:
+  static constexpr int32_t MAX_LEAD = 2;  // < ring size - 1
+
+  FillWorker() : th_(&FillWorker::loop, this) {}
+  ~FillWorker() {
+    quit_.store(true);
+    fill_seq_.fetch_add(1);
+    fill_seq_.notify_one();
+    th_.join();
+  }
+
+  int32_t run(FillJob& job) {
+    job_ = &job;
+    carry_ready_.store(0);
+    rows_done_.store(0);
+    cmid_ring_[0] = job.buf[0][job.Cmid];  // row 0 boundary = top_row
+    const int32_t seq = fill_seq_.fetch_add(1) + 1;
+    fill_seq_.notify_one();
+    const int32_t R = job.R, Cmid = job.Cmid;
+    const int32_t C = job.C;
+    for (int32_t j = 1; j <= R; ++j) {
+      while (rows_done_.load(std::memory_order_acquire) < j - MAX_LEAD)
+        cpu_pause();
+      const int32_t* pv = job.buf[(j - 1) & 1];
+      int32_t* cu = job.buf[j & 1];
+      const int32_t* subrow = job.subcol + (int64_t)job.row_codes[j - 1] * C;
+      int8_t* drow = job.dirs + (int64_t)j * (C + 1);
+      drow[0] = D_UP;
+      cu[0] = j * job.edge_rowgap;
+      fill_phase_a(pv, subrow, job.rowgap, job.Sp, job.m1p, job.d1p,
+                   job.up_, 1, Cmid);
+      job.up_[0] = cu[0];
+      carry_ring_[j & 3] = prefix_max_inplace(job.up_, 1, Cmid, cu[0]);
+      fill_phase_c(cu, job.up_, job.Sp, job.cg, job.m1p, job.d1p, drow,
+                   1, Cmid);
+      cmid_ring_[j & 3] = cu[Cmid];
+      carry_ready_.store(j, std::memory_order_release);
+    }
+    while (fills_done_.load(std::memory_order_acquire) < seq) cpu_pause();
+    return job.buf[R & 1][C];
+  }
+
+ private:
+  void loop() {
+    int32_t done = 0;
+    for (;;) {
+      fill_seq_.wait(done, std::memory_order_acquire);
+      if (quit_.load(std::memory_order_relaxed)) return;
+      ++done;
+      FillJob& job = *job_;
+      const int32_t R = job.R, C = job.C, Cmid = job.Cmid;
+      const int32_t lo = Cmid + 1;
+      for (int32_t j = 1; j <= R; ++j) {
+        // one wait per row: the carry publish also covers the previous
+        // row's boundary value (cmid_ring_[j-1] precedes carry_ready_
+        // j-1 <= j in release order)
+        while (carry_ready_.load(std::memory_order_acquire) < j)
+          cpu_pause();
+        const int32_t* pv = job.buf[(j - 1) & 1];
+        int32_t* cu = job.buf[j & 1];
+        const int32_t* subrow =
+            job.subcol + (int64_t)job.row_codes[j - 1] * C;
+        int8_t* drow = job.dirs + (int64_t)j * (C + 1);
+        // first column reads the boundary pv[Cmid] from the ring (the
+        // caller's low half of that buffer row may already be
+        // overwritten by a later row)
+        {
+          const int32_t pvmid = cmid_ring_[(j - 1) & 3];
+          const int32_t diag = pvmid + subrow[lo - 1];
+          const int32_t up = pv[lo] + job.rowgap;
+          const bool dwin = diag >= up;
+          const int32_t m = dwin ? diag : up;
+          job.m1p[lo] = m;
+          job.d1p[lo] = dwin ? D_DIAG : D_UP;
+          job.up_[lo] = m - job.Sp[lo];
+        }
+        fill_phase_a(pv, subrow, job.rowgap, job.Sp, job.m1p, job.d1p,
+                     job.up_, lo + 1, C);
+        prefix_max_inplace(job.up_, lo, C, INT32_MIN);
+        const int32_t t_mid = carry_ring_[j & 3];
+        int32_t* __restrict uhi = job.up_;
+        for (int32_t c = lo; c <= C; ++c) {
+          uhi[c] = uhi[c] > t_mid ? uhi[c] : t_mid;
+        }
+        // first column's `left` neighbour is the settled low-half tail
+        // T[Cmid] + S[Cmid] — derive it from the carry, not from u[Cmid]
+        // (the caller reuses u for later rows)
+        {
+          cu[lo] = job.up_[lo] + job.Sp[lo];
+          const int32_t left = t_mid + job.Sp[lo - 1] + job.cg[lo];
+          const bool take_left = (left > job.m1p[lo]) |
+                                 ((left == job.m1p[lo]) &&
+                                  (job.d1p[lo] == D_UP));
+          drow[lo] = take_left ? D_LEFT : job.d1p[lo];
+        }
+        fill_phase_c(cu, job.up_, job.Sp, job.cg, job.m1p, job.d1p, drow,
+                     lo + 1, C);
+        rows_done_.store(j, std::memory_order_release);
+      }
+      fills_done_.store(done, std::memory_order_release);
+    }
+  }
+
+  std::thread th_;
+  FillJob* job_ = nullptr;
+  int32_t carry_ring_[4] = {0, 0, 0, 0};
+  int32_t cmid_ring_[4] = {0, 0, 0, 0};
+  std::atomic<int32_t> fill_seq_{0}, fills_done_{0};
+  std::atomic<int32_t> carry_ready_{0}, rows_done_{0};
+  std::atomic<bool> quit_{false};
+};
+
+// Two-thread dispatch threshold (cells); settable from Python for the
+// single- vs multi-thread exactness tests.
+std::atomic<int64_t> g_mt_threshold{int64_t(8) << 20};
+
 // Profile NW fill core.  row_codes: R entries in [0,4); sv: (C,5) int32
 // row-major counts; i: number of previously aligned sequences.
 // top_row: C+1 boundary values for dp[0][*]; edge_rowgap: per-row scale
@@ -48,7 +301,7 @@ int32_t dp_fill_core(const int8_t* row_codes, int32_t R,
                      const int32_t* top_row, int32_t edge_rowgap,
                      int8_t* dirs) {
   const int32_t rowgap = INDEL * i;
-  std::vector<int32_t> prev(C + 1), cur(C + 1);
+  std::vector<int32_t> buf0(C + 1), buf1(C + 1);
   std::vector<int32_t> colgap(C + 1);
   dirs[0] = D_DIAG;
   for (int32_t c = 1; c <= C; ++c) {
@@ -56,7 +309,7 @@ int32_t dp_fill_core(const int8_t* row_codes, int32_t R,
     colgap[c] = DOUBLEGAP * g + INDEL * (i - g);
     dirs[c] = D_LEFT;
   }
-  for (int32_t c = 0; c <= C; ++c) prev[c] = top_row[c];
+  for (int32_t c = 0; c <= C; ++c) buf0[c] = top_row[c];
   // per-column substitution profile for each character code (transposed
   // scorevector), so the row loop reads contiguous memory
   std::vector<int32_t> subcol(4 * C);
@@ -68,93 +321,63 @@ int32_t dp_fill_core(const int8_t* row_codes, int32_t R,
           MATCH * col[a] + INDEL * g + MISMATCH * (i - col[a] - g);
     }
   }
-  // m1/d1 precompute: max(diag, up) with the diag-preferred tie-break is
-  // vectorizable.  Tie-break equivalence with the reference
-  // (diag >= up >= left preference): left wins over m1 iff left > m1, or
-  // left == m1 and m1 came from up.
-  //
-  // The left-extension chain cur[c] = max(m1[c], cur[c-1] + cg[c]) is a
-  // max-plus prefix scan with the closed form (same trick as the device
-  // row-scan, csa_tpu/dp/wavefront.py): with S = prefix-sum(cg) and
-  // T[c] = cur[c] - S[c],  T[c] = max(T[c-1], m1[c] - S[c]) — a plain
-  // running max.  That shrinks the serial work to one add (S) and one
-  // max (T) per cell; everything else (m1, u, cur, directions) is
-  // straight-line vector code the compiler auto-vectorizes.  Directions
-  // are recomputed exactly afterward from the settled cur values: the
-  // chain value never depends on the tie-break, only the direction does.
   std::vector<int32_t> m1(C + 1);
   std::vector<int8_t> d1(C + 1);
   std::vector<int32_t> S(C + 1), u(C + 1);
   S[0] = 0;
   for (int32_t c = 1; c <= C; ++c) S[c] = S[c - 1] + colgap[c];
+
+  if ((int64_t)R * C >= g_mt_threshold.load(std::memory_order_relaxed) &&
+      C >= 4096 && std::thread::hardware_concurrency() >= 2) {
+    static thread_local std::unique_ptr<FillWorker> tl_worker;
+    if (!tl_worker) tl_worker = std::make_unique<FillWorker>();
+    FillJob job;
+    job.row_codes = row_codes;
+    job.subcol = subcol.data();
+    job.Sp = S.data();
+    job.cg = colgap.data();
+    job.buf[0] = buf0.data();
+    job.buf[1] = buf1.data();
+    job.m1p = m1.data();
+    job.d1p = d1.data();
+    job.up_ = u.data();
+    job.dirs = dirs;
+    job.R = R;
+    job.C = C;
+    job.Cmid = (C / 2) & ~15;
+    job.rowgap = rowgap;
+    job.edge_rowgap = edge_rowgap;
+    return tl_worker->run(job);
+  }
+
+  int32_t* bufs[2] = {buf0.data(), buf1.data()};
   for (int32_t j = 1; j <= R; ++j) {
+    const int32_t* __restrict pv = bufs[(j - 1) & 1];
+    int32_t* __restrict cu = bufs[j & 1];
     const int32_t* __restrict subrow =
         subcol.data() + (int64_t)row_codes[j - 1] * C;
     int8_t* __restrict drow = dirs + (int64_t)j * (C + 1);
     drow[0] = D_UP;
-    cur[0] = j * edge_rowgap;
-    const int32_t* __restrict pv = prev.data();
-    int32_t* __restrict m1p = m1.data();
-    int8_t* __restrict d1p = d1.data();
-    const int32_t* __restrict Sp = S.data();
-    int32_t* __restrict up_ = u.data();
-    for (int32_t c = 1; c <= C; ++c) {
-      const int32_t diag = pv[c - 1] + subrow[c - 1];
-      const int32_t up = pv[c] + rowgap;
-      const bool dwin = diag >= up;
-      const int32_t m = dwin ? diag : up;
-      m1p[c] = m;
-      d1p[c] = dwin ? D_DIAG : D_UP;
-      up_[c] = m - Sp[c];
-    }
-    // serial core: running max of u, reused in place as T.  With random
-    // profiles a branchy `if` mispredicts nearly every cell (measured
-    // 0.23 -> 1.2 Gcell/s going branchless); the AVX-512 path does the
-    // inclusive prefix max in-register (4 alignr+max steps + carry).
-    int32_t t = cur[0];  // T[0] = cur[0] - S[0]
-    int32_t* __restrict cu = cur.data();
-    {
-      int32_t c = 1;
-#if defined(__AVX512F__)
-      __m512i carry = _mm512_set1_epi32(t);
-      const __m512i z = _mm512_set1_epi32(INT32_MIN);
-      for (; c + 16 <= C + 1; c += 16) {
-        __m512i v = _mm512_loadu_si512((const void*)(up_ + c));
-        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 15));
-        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 14));
-        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 12));
-        v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, z, 8));
-        v = _mm512_max_epi32(v, carry);
-        _mm512_storeu_si512((void*)(up_ + c), v);
-        carry = _mm512_permutexvar_epi32(_mm512_set1_epi32(15), v);
-      }
-      t = _mm_cvtsi128_si32(_mm512_castsi512_si128(carry));
-#endif
-      for (; c <= C; ++c) {
-        t = up_[c] > t ? up_[c] : t;
-        up_[c] = t;
-      }
-    }
-    up_[0] = cur[0];
-    const int32_t* __restrict cg = colgap.data();
-    for (int32_t c = 1; c <= C; ++c) {
-      cu[c] = up_[c] + Sp[c];
-      // exact reference direction: left = cur[c-1] + cg[c]; cur[c-1] is
-      // settled (= T[c-1] + S[c-1]), so read it from up_/Sp to keep the
-      // loop dependence-free for the vectorizer
-      const int32_t left = up_[c - 1] + Sp[c - 1] + cg[c];
-      const bool take_left =
-          (left > m1p[c]) | ((left == m1p[c]) & (d1p[c] == D_UP));
-      drow[c] = take_left ? D_LEFT : d1p[c];
-    }
-    prev.swap(cur);
+    cu[0] = j * edge_rowgap;
+    fill_phase_a(pv, subrow, rowgap, S.data(), m1.data(), d1.data(),
+                 u.data(), 1, C);
+    u[0] = cu[0];
+    prefix_max_inplace(u.data(), 1, C, cu[0]);
+    fill_phase_c(cu, u.data(), S.data(), colgap.data(), m1.data(),
+                 d1.data(), drow, 1, C);
   }
-  return prev[C];
+  return bufs[R & 1][C];
 }
 
 }  // namespace
 
 extern "C" {
+
+// Two-thread fill dispatch threshold in cells (exactness tests compare
+// forced single- vs multi-thread output through this knob).
+void csa_set_mt_threshold(int64_t cells) {
+  g_mt_threshold.store(cells <= 0 ? (int64_t(8) << 20) : cells);
+}
 
 int32_t csa_dp_fill(const int8_t* row_codes, int32_t R,
                     const int32_t* sv, int32_t C, int32_t i,
@@ -173,13 +396,34 @@ int32_t csa_dp_fill_path(const int8_t* row_codes, int32_t R,
                          const int32_t* top_row, int32_t edge_rowgap,
                          int8_t* path, int32_t* path_len) {
   // persistent scratch: the direction matrix of a large merge is
-  // hundreds of MB; per-call vector alloc/free page-faults the whole
-  // range every merge (measured ~18 s of sys time on Set3's 36 merges)
-  static thread_local std::vector<int8_t> dirs;
+  // hundreds of MB; per-call alloc/free page-faults the whole range
+  // every merge (measured ~18 s of sys time on Set3's 36 merges).  A
+  // raw malloc with 1.5x growth headroom — NOT std::vector, whose
+  // resize would memcpy + zero-fill hundreds of MB every time the
+  // consensus grows a merge — keeps the pages warm across merges.
+  struct Scratch {
+    int8_t* p = nullptr;
+    size_t cap = 0;
+    ~Scratch() { std::free(p); }
+    int8_t* get(size_t need) {
+      if (cap < need) {
+        std::free(p);
+        const size_t newcap = need + need / 2;
+        p = static_cast<int8_t*>(std::malloc(newcap));
+        cap = p ? newcap : 0;
+      }
+      return p;
+    }
+  };
+  static thread_local Scratch scratch;
   const size_t need = (size_t)(R + 1) * (C + 1);
-  if (dirs.size() < need) dirs.resize(need);
+  int8_t* dirs = scratch.get(need);
+  if (!dirs) {  // allocation failure: report an empty path
+    *path_len = 0;
+    return 0;
+  }
   const int32_t score =
-      dp_fill_core(row_codes, R, sv, C, i, top_row, edge_rowgap, dirs.data());
+      dp_fill_core(row_codes, R, sv, C, i, top_row, edge_rowgap, dirs);
   int32_t j = R, c = C, n = 0;
   while (j > 0 && c > 0) {
     const int8_t d = dirs[(int64_t)j * (C + 1) + c];
