@@ -17,12 +17,36 @@ BI_RGB = 0
 BI_RLE8 = 1
 
 
-def _build_palette(img: np.ndarray):
-    """Map an (H, W, 3) uint8 image to (palette (P,3), indices (H,W))."""
+def _build_palette(img: np.ndarray, color_hint=None):
+    """Map an (H, W, 3) uint8 image to (palette (P,3), indices (H,W)).
+
+    color_hint: optional iterable of (r, g, b) colors known to cover the
+    image (the Canvas tracks every color its draw calls used).  When the
+    hint holds and has <= 256 entries, the palette maps via a sorted-key
+    binary search instead of a full np.unique over H*W pixels; a wrong
+    or oversized hint silently falls back to the exact path.
+    """
     h, w, _ = img.shape
-    flat = img.reshape(-1, 3).astype(np.uint32)
-    keys = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
-    uniq, inverse = np.unique(keys, return_inverse=True)
+    keys = (
+        (img[:, :, 0].astype(np.uint32) << 16)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | img[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+    if color_hint is not None and 0 < len(color_hint) <= 256:
+        hint = np.asarray(sorted(color_hint), dtype=np.uint32)
+        hkeys = (hint[:, 0] << 16) | (hint[:, 1] << 8) | hint[:, 2]
+        idx = np.searchsorted(hkeys, keys)
+        idx[idx >= len(hkeys)] = 0
+        if (hkeys[idx] == keys).all():
+            pal = np.stack(
+                [(hkeys >> 16) & 0xFF, (hkeys >> 8) & 0xFF, hkeys & 0xFF],
+                axis=1,
+            ).astype(np.uint8)
+            return pal, idx.reshape(h, w).astype(np.uint8)
+    uniq = np.unique(keys)
+    # uniq is sorted and complete, so the inverse map is a binary search
+    # (much cheaper than np.unique's return_inverse argsort)
+    inverse = np.searchsorted(uniq, keys)
     if len(uniq) <= 256:
         pal = np.stack(
             [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
@@ -52,29 +76,50 @@ def _build_palette(img: np.ndarray):
 
 
 def _rle8_encode(indices: np.ndarray) -> bytes:
-    """RLE8 encode bottom-up rows per the BMP spec (encoded runs only)."""
+    """RLE8 encode bottom-up rows per the BMP spec (encoded runs only).
+
+    Fully vectorized: run boundaries are value changes or row starts;
+    over-long runs split left-to-right into 255-pixel chunks (same
+    output bytes as the serial two-pointer scan this replaces).
+    """
     h, w = indices.shape
-    out = bytearray()
-    for row in range(h - 1, -1, -1):
-        line = indices[row]
-        i = 0
-        while i < w:
-            j = i
-            v = line[i]
-            while j < w and line[j] == v and (j - i) < 255:
-                j += 1
-            out += bytes((j - i, int(v)))
-            i = j
-        out += b"\x00\x00"  # end of line
-    out += b"\x00\x01"  # end of bitmap
-    return bytes(out)
+    flat = indices[::-1].reshape(-1)
+    n = h * w
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(flat[1:], flat[:-1], out=change[1:])
+    change[::w] = True  # runs never cross row boundaries
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n))
+    nch = (lens + 254) // 255
+    tot = int(nch.sum())
+    vals = np.repeat(flat[starts], nch)
+    chunk_lens = np.full(tot, 255, dtype=np.uint8)
+    last = np.cumsum(nch) - 1
+    chunk_lens[last] = (lens - (nch - 1) * 255).astype(np.uint8)
+    # rows: starts // w indexes bottom-up rows directly
+    chunk_row = np.repeat(starts // w, nch)
+    per_row = np.bincount(chunk_row, minlength=h)
+    row_bytes = per_row * 2 + 2  # chunks + end-of-line marker
+    row_base = np.concatenate([[0], np.cumsum(row_bytes)[:-1]])
+    chunk_base = np.concatenate([[0], np.cumsum(per_row)[:-1]])
+    within = np.arange(tot) - np.repeat(chunk_base, per_row)
+    pos = row_base[chunk_row] + within * 2
+    out = np.zeros(int(row_bytes.sum()) + 2, dtype=np.uint8)
+    out[pos] = chunk_lens
+    out[pos + 1] = vals
+    # end-of-line 00 00 pairs are already zero; final end-of-bitmap:
+    out[-2] = 0
+    out[-1] = 1
+    return out.tobytes()
 
 
-def write_bmp(path: str, img: np.ndarray, rle: bool = True) -> None:
+def write_bmp(path: str, img: np.ndarray, rle: bool = True,
+              color_hint=None) -> None:
     """Write an (H, W, 3) uint8 RGB array as an 8-bit palette BMP."""
     img = np.asarray(img, dtype=np.uint8)
     h, w, _ = img.shape
-    palette, indices = _build_palette(img)
+    palette, indices = _build_palette(img, color_hint=color_hint)
     pal256 = np.zeros((256, 4), dtype=np.uint8)
     pal256[: len(palette), 0] = palette[:, 2]  # blue
     pal256[: len(palette), 1] = palette[:, 1]  # green

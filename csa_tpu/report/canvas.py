@@ -44,25 +44,43 @@ class Canvas:
         self.height = height
         self.img = np.zeros((height, width, 3), dtype=np.uint8)
         self.img[:, :] = background
+        # every color the draw calls used (a palette hint for save_bmp;
+        # direct .img writers must call invalidate_colors())
+        self.colors = {tuple(int(v) for v in background)}
+
+    def _use(self, color: Color) -> None:
+        self.colors.add((int(color[0]), int(color[1]), int(color[2])))
+
+    def invalidate_colors(self) -> None:
+        """Call after writing .img directly: disables the palette hint."""
+        self.colors = None
 
     def point(self, x: int, y: int, color: Color) -> None:
         if 0 <= x < self.width and 0 <= y < self.height:
+            if self.colors is not None:
+                self._use(color)
             self.img[y, x] = color
 
     def hline(self, x0: int, x1: int, y: int, color: Color) -> None:
         if not (0 <= y < self.height):
             return
+        if self.colors is not None:
+            self._use(color)
         x0, x1 = max(0, min(x0, x1)), min(self.width - 1, max(x0, x1))
         self.img[y, x0 : x1 + 1] = color
 
     def vline(self, x: int, y0: int, y1: int, color: Color) -> None:
         if not (0 <= x < self.width):
             return
+        if self.colors is not None:
+            self._use(color)
         y0, y1 = max(0, min(y0, y1)), min(self.height - 1, max(y0, y1))
         self.img[y0 : y1 + 1, x] = color
 
     def rect(self, x0: int, y0: int, x1: int, y1: int, color: Color,
              fill: bool = True) -> None:
+        if self.colors is not None:
+            self._use(color)
         x0, x1 = min(x0, x1), max(x0, x1)
         y0, y1 = min(y0, y1), max(y0, y1)
         if fill:
@@ -135,4 +153,4 @@ class Canvas:
     def save_bmp(self, path: str) -> None:
         from .bmp import write_bmp
 
-        write_bmp(path, self.img)
+        write_bmp(path, self.img, color_hint=self.colors)

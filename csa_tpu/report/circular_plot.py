@@ -16,6 +16,7 @@ ring is aggregated with vectorized segment sums.
 
 from __future__ import annotations
 
+import functools
 import math
 import sys
 from typing import List, Optional, TextIO
@@ -47,10 +48,9 @@ def _parse_alignment(path: str):
     return descs, rows
 
 
-def _ring_pixels(r: int):
-    """Enumerate the circle of radius r exactly like the reference's four
-    quarter-arc walks (graphics.c:1443-1702), returning (xs, ys) offsets
-    in traversal order (starting at the top, clockwise)."""
+def _ring_pixels_scalar(r: int):
+    """Scalar quarter-arc walk: the exactness twin of :func:`_ring_pixels`
+    (used directly for tiny radii, and as the oracle in tests)."""
     xs: List[int] = []
     ys: List[int] = []
     # top,right: x = 1..x45
@@ -95,6 +95,43 @@ def _ring_pixels(r: int):
     return np.asarray(xs, dtype=np.int64), np.asarray(ys, dtype=np.int64)
 
 
+@functools.lru_cache(maxsize=512)
+def _ring_pixels(r: int):
+    """Enumerate the circle of radius r exactly like the reference's four
+    quarter-arc walks (graphics.c:1443-1702), returning (xs, ys) offsets
+    in traversal order (starting at the top, clockwise).
+
+    Vectorized form of :func:`_ring_pixels_scalar`: only the first
+    quarter's stop column depends on the walk itself (x advances while
+    x <= -y_prev, and -y_prev = ceil(sqrt(r^2 - (x-1)^2)) is
+    non-increasing, so the condition holds on a prefix); every other
+    quarter is a closed range once that stop column s is known.  Same
+    float64 sqrt/floor/ceil arithmetic, bit-identical pixel lists
+    (tests/test_artifacts.py::test_ring_pixels_vectorized_exact).
+    """
+    if r < 16:
+        return _ring_pixels_scalar(r)
+    rr = float(r) * float(r)
+    t = np.arange(1.0, float(r) + 1.0)
+    bound = -np.floor(-np.sqrt(rr - (t - 1.0) ** 2))  # = -y_{x-1}
+    cond = t <= bound
+    n1 = int(np.argmin(cond)) if not cond.all() else len(cond)
+    s = n1 + 1  # the x value that first fails the quarter-1 condition
+    xs1 = np.arange(1.0, s)
+    ys1 = np.floor(-np.sqrt(rr - xs1 * xs1))
+    ys2 = np.arange(float(-s), float(s))
+    xs2 = np.floor(np.sqrt(rr - ys2 * ys2))
+    xs3 = np.arange(float(s - 2), float(-s), -1.0)
+    ys3 = np.floor(np.sqrt(rr - xs3 * xs3))
+    ys4 = np.arange(float(s), float(-s), -1.0)
+    xs4 = np.ceil(-np.sqrt(rr - ys4 * ys4))
+    xs5 = np.arange(float(1 - s), 0.0)
+    ys5 = np.floor(-np.sqrt(rr - xs5 * xs5))
+    xs = np.concatenate([xs1, xs2, xs3, xs4, xs5]).astype(np.int64)
+    ys = np.concatenate([ys1, ys2, ys3, ys4, ys5]).astype(np.int64)
+    return xs, ys
+
+
 def draw_circular_alignment_plot(
     alignment_path: str,
     image_path: str,
@@ -133,6 +170,7 @@ def draw_circular_alignment_plot(
     digits = len(str(seqsize))
     diameter += 2 * (6 * digits + 6)
     cv = Canvas(diameter, diameter)
+    cv.invalidate_colors()  # ring gradients write .img directly below
     xc = (diameter + 1) // 2
     yc = (diameter + 1) // 2
 

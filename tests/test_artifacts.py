@@ -59,3 +59,74 @@ def test_blocks_csv_parity(fixtures_dir, tmp_path):
 
     info = read_bmp_info(str(tmp_path / "Primates-Blocks.bmp"))
     assert info["magic"] == "BM" and info["bpp"] == 8
+
+
+def test_ring_pixels_vectorized_exact():
+    """The vectorized quarter-arc enumeration must reproduce the scalar
+    walk (graphics.c:1443-1702 semantics) pixel for pixel, in order."""
+    import numpy as np
+
+    from csa_tpu.report import circular_plot as cp
+
+    for r in (16, 17, 50, 99, 100, 137, 256, 401):
+        sx, sy = cp._ring_pixels_scalar(r)
+        vx, vy = cp._ring_pixels(r)
+        assert np.array_equal(sx, vx), r
+        assert np.array_equal(sy, vy), r
+
+
+def test_rle8_vectorized_exact():
+    """Vectorized RLE8 must emit the exact bytes of the serial
+    two-pointer scan (runs split left-to-right into 255-pixel chunks,
+    00 00 end-of-line, 00 01 end-of-bitmap)."""
+    import numpy as np
+
+    from csa_tpu.report.bmp import _rle8_encode
+
+    def serial(indices):
+        h, w = indices.shape
+        out = bytearray()
+        for row in range(h - 1, -1, -1):
+            line = indices[row]
+            i = 0
+            while i < w:
+                j = i
+                v = line[i]
+                while j < w and line[j] == v and (j - i) < 255:
+                    j += 1
+                out += bytes((j - i, int(v)))
+                i = j
+            out += b"\x00\x00"
+        out += b"\x00\x01"
+        return bytes(out)
+
+    rng = np.random.default_rng(0)
+    for trial in range(12):
+        h = int(rng.integers(1, 30))
+        w = int(rng.integers(1, 700))
+        img = rng.integers(0, 3, size=(h, w)).astype(np.uint8)
+        if trial % 3 == 0:
+            img[:] = 9  # >255-pixel runs
+        assert _rle8_encode(img) == serial(img)
+
+
+def test_palette_hint_matches_generic_path():
+    """A correct Canvas color hint must yield the same palette mapping
+    as the np.unique path; a wrong hint must fall back, not corrupt."""
+    import numpy as np
+
+    from csa_tpu.report.bmp import _build_palette
+
+    rng = np.random.default_rng(1)
+    colors = [(0, 0, 0), (255, 255, 255), (10, 200, 30), (1, 2, 3)]
+    img = np.array(colors, dtype=np.uint8)[
+        rng.integers(0, len(colors), size=(40, 60))
+    ]
+    pal_g, idx_g = _build_palette(img)
+    pal_h, idx_h = _build_palette(img, color_hint=set(colors))
+    assert np.array_equal(pal_g, pal_h)
+    assert np.array_equal(idx_g, idx_h)
+    # hint missing a used color: exact fallback
+    pal_w, idx_w = _build_palette(img, color_hint={(0, 0, 0)})
+    assert np.array_equal(pal_w, pal_g)
+    assert np.array_equal(idx_w, idx_g)
