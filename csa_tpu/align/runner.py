@@ -91,11 +91,14 @@ def run_alignment(
     first.next = last
     _update_gap_sizes(first, textsizes)
 
-    # dp_backend jax: DP segments are mutually independent sub-problems
-    # (alignment.c:179-208) whose results never feed the anchoring loop,
-    # so defer them and batch the i-th merges of every gap into single
-    # device launches (SURVEY §7 M2)
-    defer = dp_backend in ("jax", "sharded")
+    # DP segments are mutually independent sub-problems (alignment.c:
+    # 179-208) whose results never feed the anchoring loop, so ALL
+    # backends defer them past the anchoring pass: the jax backends then
+    # batch the i-th merges of every gap into single device launches
+    # (SURVEY §7 M2); the host backends run whole gaps concurrently on a
+    # small thread pool (the native fill/DGC kernels release the GIL).
+    # Results print in segment order afterwards, so the log text is
+    # identical to the interleaved sequential emission.
     deferred: List[Segment] = []
 
     startsegment = first
@@ -115,18 +118,16 @@ def run_alignment(
                 chain, startsegment, endsegment, textsizes
             )
         if count == 0:
-            if defer:
-                if startsegment.maxgapsize != 0:
-                    deferred.append(startsegment)
-            else:
-                _progressive_dp_segment(
-                    startsegment, rotated_codes, log=log, dp_backend=dp_backend
-                )
+            if startsegment.maxgapsize != 0:
+                deferred.append(startsegment)
             startsegment = startsegment.next
             continue
     if deferred:
-        gaps = [_gap_codes(seg, rotated_codes) for seg in deferred]
-        results = progressive.progressive_dp_batched(gaps)
+        if dp_backend in ("jax", "sharded"):
+            gaps = [_gap_codes(seg, rotated_codes) for seg in deferred]
+            results = progressive.progressive_dp_batched(gaps)
+        else:
+            results = _run_gaps_host(deferred, rotated_codes, dp_backend)
         for seg, strings in zip(deferred, results):
             print(
                 f"[({seg.mingapsize:<4}-{seg.maxgapsize:>4})",
@@ -137,6 +138,26 @@ def run_alignment(
             consize = len(strings[0]) if strings else 0
             print(f"->{consize:>4}]", file=log)
     return AlignmentResult(first, last)
+
+
+def _run_gaps_host(
+    deferred: List[Segment],
+    rotated_codes: List[np.ndarray],
+    dp_backend: str,
+) -> List[List[np.ndarray]]:
+    """Run the independent gap DPs on the host.
+
+    Sequential over gaps by measurement, not oversight: small gaps are
+    dominated by the GIL-held merge/state transitions (a 2-thread pool
+    over them measured as a wash on this host), while large gaps
+    already use every core inside the two-thread native fill
+    (csa_host.cpp::FillWorker) — pooling them against other gaps makes
+    that fill's lockstep spins contend and measures slower.
+    """
+    gaps = [_gap_codes(seg, rotated_codes) for seg in deferred]
+    return [
+        progressive.progressive_dp(g, dp_backend=dp_backend) for g in gaps
+    ]
 
 
 def _gap_codes(segment: Segment, rotated_codes: List[np.ndarray]):
@@ -183,28 +204,6 @@ def _set_alignment_map_segments(
     startsegment.next = current
     _update_gap_sizes(startsegment, textsizes)
     return count
-
-
-def _progressive_dp_segment(
-    segment: Segment,
-    rotated_codes: List[np.ndarray],
-    *,
-    log: TextIO,
-    dp_backend: str = "numpy",
-):
-    """ProgressiveDP adapter: slice gap substrings, align, attach."""
-    if segment.maxgapsize == 0:
-        return
-    print(
-        f"[({segment.mingapsize:<4}-{segment.maxgapsize:>4})",
-        end="",
-        file=log,
-    )
-    gap_codes = _gap_codes(segment, rotated_codes)
-    strings = progressive.progressive_dp(gap_codes, dp_backend=dp_backend)
-    segment.alignedstrings = strings
-    consize = len(strings[0]) if strings else 0
-    print(f"->{consize:>4}]", file=log)
 
 
 GAP_CODE = 4

@@ -11,22 +11,28 @@ the run in a JAX profiler trace for xprof/tensorboard.
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 from typing import Dict, Optional, TextIO
 
 
 class PhaseTimer:
+    """Phase times are summed across threads (concurrent phases of the
+    same name accumulate their overlapping wall-clock)."""
+
     def __init__(self):
         self.enabled = False
         self.phases: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
         self.counters: Dict[str, float] = {}
+        self._lock = threading.Lock()
 
     def reset(self):
-        self.phases.clear()
-        self.counts.clear()
-        self.counters.clear()
+        with self._lock:
+            self.phases.clear()
+            self.counts.clear()
+            self.counters.clear()
 
     @contextmanager
     def phase(self, name: str):
@@ -38,12 +44,14 @@ class PhaseTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.phases[name] = self.phases.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            with self._lock:
+                self.phases[name] = self.phases.get(name, 0.0) + dt
+                self.counts[name] = self.counts.get(name, 0) + 1
 
     def add(self, counter: str, value: float):
         if self.enabled:
-            self.counters[counter] = self.counters.get(counter, 0.0) + value
+            with self._lock:
+                self.counters[counter] = self.counters.get(counter, 0.0) + value
 
     def report(self, out: TextIO):
         if not self.phases and not self.counters:
