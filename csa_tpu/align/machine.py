@@ -20,6 +20,7 @@ Notable reference behaviors reproduced deliberately (see docs/PARITY.md):
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -31,7 +32,11 @@ INT_MAX = 2**31 - 1
 
 
 class ListNode:
-    """Doubly linked border-node list entry."""
+    """Doubly linked border-node list entry.
+
+    positions are plain Python int lists: the machine's hot loops do
+    tiny per-node scans and binary searches where list indexing and
+    bisect beat numpy-scalar ufunc dispatch by ~5x."""
 
     __slots__ = (
         "size",
@@ -44,7 +49,7 @@ class ListNode:
         "next",
     )
 
-    def __init__(self, size: int, positions: List[np.ndarray]):
+    def __init__(self, size: int, positions: List[List[int]]):
         self.size = size
         self.positions = positions
         self.front = [0] * len(positions)
@@ -55,7 +60,7 @@ class ListNode:
         self.next: Optional[ListNode] = None
 
     def first_pos(self, seq: int) -> int:
-        return int(self.positions[seq][self.front[seq]])
+        return self.positions[seq][self.front[seq]]
 
     def npos(self, seq: int) -> int:
         return len(self.positions[seq]) - self.front[seq]
@@ -75,7 +80,7 @@ class BorderList:
     def __init__(self, nodes: List[BorderNode], num_seqs: int):
         self.k = num_seqs
         # fake first node: position -1 in every sequence (alignment.c:44-53)
-        self.first = ListNode(0, [np.array([-1], dtype=np.int64)] * num_seqs)
+        self.first = ListNode(0, [[-1]] * num_seqs)
         prev = self.first
         # initial order: ascending first position in sequence 0.  The very
         # first UpdateActiveBorderNodes call fully sorts by that key before
@@ -84,7 +89,10 @@ class BorderList:
         # (DFS) order of the reference irrelevant; positions are disjoint
         # across nodes so the key is unique.
         for bn in sorted(nodes, key=lambda b: int(b.positions[0][0])):
-            ln = ListNode(bn.size, [np.asarray(p, dtype=np.int64) for p in bn.positions])
+            ln = ListNode(
+                bn.size,
+                [np.asarray(p).tolist() for p in bn.positions],
+            )
             prev.next = ln
             ln.prev = prev
             prev = ln
@@ -201,8 +209,8 @@ class BorderList:
             for i in range(k):
                 p = node.positions[i]
                 f = node.front[i]
-                while f < len(p) and p[f] < startpos[i]:
-                    f += 1
+                # front advance = bisect: positions are ascending
+                f = bisect_left(p, startpos[i], f)
                 node.front[i] = f
                 if f >= len(p):
                     self.delete_node(node)
@@ -217,7 +225,7 @@ class BorderList:
             for i in range(k):
                 p = node.positions[i]
                 f = node.front[i]
-                cnt = int(np.searchsorted(p[f:], endpos[i], side="left"))
+                cnt = bisect_left(p, endpos[i], f) - f
                 if cnt == 0:
                     broke = True
                     break
