@@ -326,9 +326,15 @@ def _group_border_nodes(
     re = run_ends[run_keep]
     rg = run_group[run_keep]
     cuts = np.nonzero(np.concatenate([[True], rg[1:] != rg[:-1]]))[0]
+    # emit plain int lists: the list machine consumes them directly, and
+    # slicing one materialized Python list beats creating thousands of
+    # tiny numpy views + per-node tolist conversions downstream
+    k_o_list = k_o.tolist()
+    rs_l = rs.tolist()
+    re_l = re.tolist()
     for t, cut in enumerate(cuts):
         nxt = cuts[t + 1] if t + 1 < len(cuts) else len(rs)
-        positions = [k_o[rs[r] : re[r]] for r in range(cut, nxt)]
+        positions = [k_o_list[rs_l[r] : re_l[r]] for r in range(cut, nxt)]
         nodes.append(
             BorderNode(size=int(depths[rg[cut]]), positions=positions)
         )

@@ -91,7 +91,10 @@ class BorderList:
         for bn in sorted(nodes, key=lambda b: int(b.positions[0][0])):
             ln = ListNode(
                 bn.size,
-                [np.asarray(p).tolist() for p in bn.positions],
+                [
+                    p if isinstance(p, list) else np.asarray(p).tolist()
+                    for p in bn.positions
+                ],
             )
             prev.next = ln
             ln.prev = prev

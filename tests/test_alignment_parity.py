@@ -72,8 +72,8 @@ def test_border_nodes_have_all_sequences(seed):
             assert len(p) > 0
             assert np.all(np.diff(p) > 0)
             # attachment is unique: a suffix belongs to exactly one node
-            assert not (all_pos[i] & set(p.tolist()))
-            all_pos[i].update(p.tolist())
+            assert not (all_pos[i] & set(p))
+            all_pos[i].update(p)
 
 
 def test_alignment_integrity_roundtrip(tmp_path):
