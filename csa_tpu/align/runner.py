@@ -95,10 +95,11 @@ def run_alignment(
     # 179-208) whose results never feed the anchoring loop, so ALL
     # backends defer them past the anchoring pass: the jax backends then
     # batch the i-th merges of every gap into single device launches
-    # (SURVEY §7 M2); the host backends run whole gaps concurrently on a
-    # small thread pool (the native fill/DGC kernels release the GIL).
-    # Results print in segment order afterwards, so the log text is
-    # identical to the interleaved sequential emission.
+    # (SURVEY §7 M2); the host backends run gaps sequentially, with
+    # parallelism inside the native two-thread fill (see _run_gaps_host's
+    # docstring for the measurement behind that choice).  Results print
+    # in segment order afterwards, so the log text is identical to the
+    # interleaved sequential emission.
     deferred: List[Segment] = []
 
     startsegment = first

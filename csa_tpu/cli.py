@@ -16,7 +16,9 @@ M         Convert aligned FASTA -> MSF
 
 Extra (new in this framework): ``--backend {auto,numpy,jax,native,sharded}``,
 ``--mesh SEQxPOS`` (device mesh for the sharded backend), ``--profile``,
-``--verify-rotations``, ``--min-block-size``, ``--max-interval``.
+``--verify-rotations``, ``--min-block-size``, ``--max-interval``, and the
+scoring-matrix flags ``--match/--mismatch/--indel/--doublegap`` (honored
+identically by every DP backend; csa_tpu/config.py).
 """
 
 from __future__ import annotations
@@ -105,12 +107,26 @@ def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
     return res
 
 
+def _resolve_host_backend(backend: str) -> str:
+    """Resolve ``auto`` for the alignment phase: the fastest host path
+    when the native kernels are built, else numpy (the device alignment
+    path stays an explicit ``--backend jax`` opt-in; rotation resolves
+    ``auto`` separately and size-dependently in ``rotation.pipeline``)."""
+    if backend != "auto":
+        return backend
+    from . import native
+
+    return "native" if native.available() else "numpy"
+
+
 def run_alignment(args, seqs: fio.SequenceSet, rotations) -> str:
     from .align import msa
 
     alignfile = output_filename(args.input, ALIGNMENT_SUFFIX)
     print("> Running multiple sequence alignment...")
-    result = msa.align(seqs, rotations, backend=args.backend)
+    result = msa.align(
+        seqs, rotations, backend=_resolve_host_backend(args.backend)
+    )
     msa.save_alignment(seqs, rotations, result, alignfile)
     from .tools import files as tools_files
 
@@ -172,6 +188,14 @@ def main(argv=None) -> int:
     parser.add_argument("--min-block-size", type=int, default=10)
     parser.add_argument("--max-block-size", type=int, default=INT_MAX)
     parser.add_argument("--max-interval", type=int, default=INT_MAX)
+    parser.add_argument("--match", type=int, default=1,
+                        help="DP match score (default 1)")
+    parser.add_argument("--mismatch", type=int, default=-1,
+                        help="DP mismatch score (default -1)")
+    parser.add_argument("--indel", type=int, default=-1,
+                        help="DP indel score (default -1)")
+    parser.add_argument("--doublegap", type=int, default=0,
+                        help="DP gap-over-gap score (default 0)")
     parser.add_argument("--mesh", type=_parse_mesh, default=None,
                         metavar="SEQxPOS",
                         help="device mesh shape for --backend sharded, "
@@ -183,6 +207,15 @@ def main(argv=None) -> int:
     parser.add_argument("--version", action="version",
                         version=f"csa-tpu {__version__}")
     args = parser.parse_args(argv)
+
+    from . import config
+
+    sc = config.Scoring(
+        match=args.match, mismatch=args.mismatch,
+        indel=args.indel, doublegap=args.doublegap,
+    )
+    if sc != config.DEFAULT_SCORING:
+        config.set_scoring(sc)
 
     if args.backend in ("auto", "jax", "sharded"):
         _enable_persistent_compile_cache()

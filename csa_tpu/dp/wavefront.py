@@ -39,7 +39,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..align.progressive import D_DIAG, D_LEFT, D_UP, DOUBLEGAP, GAP, INDEL, MATCH, MISMATCH
+from ..align.progressive import D_DIAG, D_LEFT, D_UP, GAP
+from ..config import Scoring, scoring as _current_scoring
 
 ROW_UNROLL = 8       # rows computed per scan step (amortizes step overhead)
 BT_UNROLL = 16       # backtrack steps per while_loop iteration
@@ -70,7 +71,8 @@ def _row_step(prev, sub_row, j, S, cg, rowgap, edge_rowgap):
     return cur, dirs_row
 
 
-def _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int):
+def _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int,
+                  sc: Scoring):
     """codes: (R,) int32; sv: (C, 5) int32; i: () int32;
     top_row: (C+1,) int32 dp[0][*] boundary; edge_rowgap: () int32 scale
     of dp[j][0] (possibly stale, see progressive.dp_fill).
@@ -80,9 +82,10 @@ def _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int):
     onehot = jax.nn.one_hot(codes, 4, dtype=jnp.int32)            # (R, 4)
     cnt = jnp.dot(onehot, sv[:, :4].T, preferred_element_type=jnp.int32)
     svg = sv[:, GAP]                                              # (C,)
-    sub = MATCH * cnt + INDEL * svg[None, :] + MISMATCH * (i - cnt - svg[None, :])
-    rowgap = INDEL * i
-    cg = DOUBLEGAP * svg + INDEL * (i - svg)                      # (C,)
+    sub = (sc.match * cnt + sc.indel * svg[None, :]
+           + sc.mismatch * (i - cnt - svg[None, :]))
+    rowgap = sc.indel * i
+    cg = sc.doublegap * svg + sc.indel * (i - svg)                # (C,)
     S = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cg, dtype=jnp.int32)])
 
     nchunk = R // ROW_UNROLL
@@ -103,13 +106,15 @@ def _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int):
     return dirs.reshape(R, C + 1)
 
 
-@functools.partial(jax.jit, static_argnames=("R", "C"))
-def _rowscan_program(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int):
-    return _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, R=R, C=C)
+@functools.partial(jax.jit, static_argnames=("R", "C", "sc"))
+def _rowscan_program(codes, sv, i, top_row, edge_rowgap, *, R: int, C: int,
+                     sc: Scoring):
+    return _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, R=R, C=C, sc=sc)
 
 
 def _rowscan_path(
-    codes, sv, i, top_row, edge_rowgap, r_real, c_real, *, R: int, C: int
+    codes, sv, i, top_row, edge_rowgap, r_real, c_real, *, R: int, C: int,
+    sc: Scoring
 ):
     """Fused fill + device backtrack.
 
@@ -120,7 +125,7 @@ def _rowscan_path(
     direction codes in walk order (from (R, C) back to (0, 0)) plus the
     step count.  Only this O(R+C) vector is transferred to the host.
     """
-    dirs = _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, R=R, C=C)
+    dirs = _rowscan_dirs(codes, sv, i, top_row, edge_rowgap, R=R, C=C, sc=sc)
 
     L = R + C
 
@@ -155,7 +160,7 @@ def _rowscan_path(
 
 
 _rowscan_path_program = functools.partial(
-    jax.jit, static_argnames=("R", "C")
+    jax.jit, static_argnames=("R", "C", "sc")
 )(_rowscan_path)
 
 
@@ -191,13 +196,14 @@ def dp_fill_device(
 
     if top_row is None:
         top_row = default_top_row(scorevector, i)
+    sc = _current_scoring()
     if edge_rowgap is None:
-        edge_rowgap = INDEL * i
+        edge_rowgap = sc.indel * i
     codes, sv, top, R, C, Rp, Cp = _pad_args(row_codes, scorevector, top_row)
     dev = np.asarray(
         _rowscan_program(
             jnp.asarray(codes), jnp.asarray(sv), jnp.int32(i),
-            jnp.asarray(top), jnp.int32(edge_rowgap), R=Rp, C=Cp
+            jnp.asarray(top), jnp.int32(edge_rowgap), R=Rp, C=Cp, sc=sc
         )
     )
     dirs = np.zeros((R + 1, C + 1), dtype=np.int8)
@@ -224,20 +230,22 @@ def dp_path_device(
 
     if top_row is None:
         top_row = default_top_row(scorevector, i)
+    sc = _current_scoring()
     if edge_rowgap is None:
-        edge_rowgap = INDEL * i
+        edge_rowgap = sc.indel * i
     codes, sv, top, R, C, Rp, Cp = _pad_args(row_codes, scorevector, top_row)
     path, nsteps = _rowscan_path_program(
         jnp.asarray(codes), jnp.asarray(sv), jnp.int32(i),
         jnp.asarray(top), jnp.int32(edge_rowgap),
-        jnp.int32(R), jnp.int32(C), R=Rp, C=Cp,
+        jnp.int32(R), jnp.int32(C), R=Rp, C=Cp, sc=sc,
     )
     n = int(nsteps)
     return np.asarray(path)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("R", "C"))
-def _batched_path_program(codes, sv, iv, top, erg, rr, cc, *, R: int, C: int):
+@functools.partial(jax.jit, static_argnames=("R", "C", "sc"))
+def _batched_path_program(codes, sv, iv, top, erg, rr, cc, *, R: int, C: int,
+                          sc: Scoring):
     """vmap of the fused fill + backtrack over a leading gap axis.
 
     codes (G, R) int32; sv (G, C, 5); iv/erg/rr/cc (G,) int32;
@@ -245,7 +253,7 @@ def _batched_path_program(codes, sv, iv, top, erg, rr, cc, *, R: int, C: int):
     """
     return jax.vmap(
         lambda c_, s_, i_, t_, e_, r_, cc_: _rowscan_path(
-            c_, s_, i_, t_, e_, r_, cc_, R=R, C=C
+            c_, s_, i_, t_, e_, r_, cc_, R=R, C=C, sc=sc
         )
     )(codes, sv, iv, top, erg, rr, cc)
 
@@ -290,7 +298,7 @@ def dp_paths_device_batched(items):
     paths, nsteps = _batched_path_program(
         jnp.asarray(codes), jnp.asarray(sv), jnp.asarray(iv),
         jnp.asarray(top), jnp.asarray(erg), jnp.asarray(rr),
-        jnp.asarray(cc), R=Rp, C=Cp,
+        jnp.asarray(cc), R=Rp, C=Cp, sc=_current_scoring(),
     )
     paths = np.asarray(paths)
     nsteps = np.asarray(nsteps)

@@ -20,74 +20,114 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+_SRC_PATH = os.path.join(_HERE, "csa_host.cpp")
+
+
+def _stale() -> bool:
+    """True when the prebuilt .so predates the current source."""
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)
+    except OSError:
+        return True
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) or _stale():
         try:
             subprocess.run(
-                ["make", "-s", "-C", _HERE],
+                ["make", "-s", "-B", "-C", _HERE],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
+            # no toolchain but a prebuilt (possibly stale) .so exists:
+            # fall through and let the guarded bindings below decide
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    lib.csa_dp_fill.restype = ctypes.c_int32
-    lib.csa_dp_fill.argtypes = [
-        ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_void_p,
-        ctypes.c_int32, ctypes.c_void_p,
-    ]
-    lib.csa_pairwise_nw.restype = ctypes.c_int32
-    lib.csa_pairwise_nw.argtypes = [
-        ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_void_p, ctypes.c_int32,
-    ]
-    lib.csa_dgc.restype = ctypes.c_int32
-    lib.csa_dgc.argtypes = [
-        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
-    ]
-    lib.csa_rotation_analyze.restype = ctypes.c_int32
-    lib.csa_rotation_analyze.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-    ]
-    lib.csa_dp_fill_path.restype = ctypes.c_int32
-    lib.csa_dp_fill_path.argtypes = [
-        ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_void_p,
-        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
-    ]
-    lib.csa_linear_index.restype = ctypes.c_int32
-    lib.csa_linear_index.argtypes = [
-        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_void_p, ctypes.c_void_p,
-    ]
-    lib.csa_set_mt_threshold.restype = None
-    lib.csa_set_mt_threshold.argtypes = [ctypes.c_int64]
-    lib.csa_anchor_attach.restype = ctypes.c_int32
-    lib.csa_anchor_attach.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_void_p, ctypes.c_void_p,
-    ]
+    try:
+        lib.csa_dp_fill.restype = ctypes.c_int32
+        lib.csa_dp_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.csa_pairwise_nw.restype = ctypes.c_int32
+        lib.csa_pairwise_nw.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.csa_dgc.restype = ctypes.c_int32
+        lib.csa_dgc.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.csa_rotation_analyze.restype = ctypes.c_int32
+        lib.csa_rotation_analyze.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.csa_dp_fill_path.restype = ctypes.c_int32
+        lib.csa_dp_fill_path.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.csa_linear_index.restype = ctypes.c_int32
+        lib.csa_linear_index.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.csa_set_mt_threshold.restype = None
+        lib.csa_set_mt_threshold.argtypes = [ctypes.c_int64]
+        lib.csa_set_scoring.restype = None
+        lib.csa_set_scoring.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.csa_anchor_attach.restype = ctypes.c_int32
+        lib.csa_anchor_attach.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+    except AttributeError:
+        # stale prebuilt .so missing a newer symbol and no toolchain to
+        # rebuild: report unavailable so callers take the numpy fallback
+        return None
     _lib = lib
+    # a scoring installed before the lazy load must reach the kernels
+    from .. import config
+
+    if config.scoring() != config.DEFAULT_SCORING:
+        push_scoring(config.scoring())
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def push_scoring(s) -> bool:
+    """Install a :class:`csa_tpu.config.Scoring` into the host kernels;
+    returns False when the library is missing (numpy fallback in use)."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.csa_set_scoring(
+        int(s.match), int(s.mismatch), int(s.indel), int(s.doublegap)
+    )
+    return True
 
 
 def set_mt_threshold(cells: int) -> bool:

@@ -26,10 +26,12 @@
 #endif
 
 namespace {
-constexpr int MATCH = 1;
-constexpr int DOUBLEGAP = 0;
-constexpr int MISMATCH = -1;
-constexpr int INDEL = -1;
+// progressive-DP scoring (dynamicprogramming.c:16-19 defaults); mutable
+// via csa_set_scoring so the host kernels honor csa_tpu.config.Scoring
+int MATCH = 1;
+int DOUBLEGAP = 0;
+int MISMATCH = -1;
+int INDEL = -1;
 constexpr int GAP = 4;
 constexpr int8_t D_DIAG = 0;
 constexpr int8_t D_LEFT = 1;
@@ -372,6 +374,13 @@ int32_t dp_fill_core(const int8_t* row_codes, int32_t R,
 }  // namespace
 
 extern "C" {
+
+void csa_set_scoring(int match_, int mismatch_, int indel_, int doublegap_) {
+  MATCH = match_;
+  MISMATCH = mismatch_;
+  INDEL = indel_;
+  DOUBLEGAP = doublegap_;
+}
 
 // Two-thread fill dispatch threshold in cells (exactness tests compare
 // forced single- vs multi-thread output through this knob).

@@ -83,6 +83,10 @@ def _rle8_encode(indices: np.ndarray) -> bytes:
     output bytes as the serial two-pointer scan this replaces).
     """
     h, w = indices.shape
+    if h * w == 0:
+        # degenerate image: just the end-of-bitmap marker (the serial
+        # encoder emitted the same bare terminator for this case)
+        return bytes((0, 1))
     flat = indices[::-1].reshape(-1)
     n = h * w
     change = np.empty(n, dtype=bool)

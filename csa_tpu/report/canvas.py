@@ -64,29 +64,33 @@ class Canvas:
     def hline(self, x0: int, x1: int, y: int, color: Color) -> None:
         if not (0 <= y < self.height):
             return
+        x0, x1 = max(0, min(x0, x1)), min(self.width - 1, max(x0, x1))
+        if x0 > x1:
+            return  # fully clipped: keep the palette hint unpolluted
         if self.colors is not None:
             self._use(color)
-        x0, x1 = max(0, min(x0, x1)), min(self.width - 1, max(x0, x1))
         self.img[y, x0 : x1 + 1] = color
 
     def vline(self, x: int, y0: int, y1: int, color: Color) -> None:
         if not (0 <= x < self.width):
             return
+        y0, y1 = max(0, min(y0, y1)), min(self.height - 1, max(y0, y1))
+        if y0 > y1:
+            return
         if self.colors is not None:
             self._use(color)
-        y0, y1 = max(0, min(y0, y1)), min(self.height - 1, max(y0, y1))
         self.img[y0 : y1 + 1, x] = color
 
     def rect(self, x0: int, y0: int, x1: int, y1: int, color: Color,
              fill: bool = True) -> None:
-        if self.colors is not None:
-            self._use(color)
         x0, x1 = min(x0, x1), max(x0, x1)
         y0, y1 = min(y0, y1), max(y0, y1)
         if fill:
             xa, xb = max(0, x0), min(self.width - 1, x1)
             ya, yb = max(0, y0), min(self.height - 1, y1)
             if xa <= xb and ya <= yb:
+                if self.colors is not None:
+                    self._use(color)
                 self.img[ya : yb + 1, xa : xb + 1] = color
         else:
             self.hline(x0, x1, y0, color)
