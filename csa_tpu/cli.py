@@ -160,9 +160,10 @@ def _enable_persistent_compile_cache():
     """
     if os.environ.get("CSA_TPU_NO_COMPILE_CACHE"):
         return
-    cache_dir = os.environ.get("CSA_TPU_COMPILE_CACHE") or os.path.join(
-        os.path.expanduser("~"), ".cache", "csa_tpu", "xla_cache"
-    )
+    # one shared location with bench.py so CLI runs, probes and bench
+    # reuse each other's compiled executables (the remote compile service
+    # costs minutes per program)
+    cache_dir = os.environ.get("CSA_TPU_COMPILE_CACHE") or "/tmp/jax_comp_cache"
     try:
         import jax
 

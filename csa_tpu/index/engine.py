@@ -569,66 +569,414 @@ def suffix_filter_program(
     return keep_suffix, num_distinct
 
 
-def full_rotation_program(codes, lengths, *, k: int, n_max: int, levels: int, cap: int, slots: int = MAX_DEPTH_SLOTS):
-    """Index + collect + suffix-filter + uniqueness + positions, fused.
+# ---------------------------------------------------------------------------
+# Fast single-device rotation path (round 3).
+#
+# Host-driven pipeline of SMALL jitted stages with per-level scalar syncs,
+# replacing the round-2 single fused program.  Shaped by measurements on
+# the target chip (tunneled v5e, N = 8M int32):
+#
+#   lax.sort (2-key, stable)   ~47 ms        dynamic gather, any pattern ~83 ms
+#   scatter                    ~77 ms        cummax / static roll        ~25 ms
+#   elementwise op             ~3 ms         bulk d2h transfer        ~30 MB/s
+#
+# i.e. on this hardware SORTS ARE CHEAPER THAN GATHERS and bulk transfers
+# are prohibitive — the opposite of the round-2 working assumptions.  The
+# design therefore (a) keeps everything on device with one small packed
+# transfer, (b) replaces gather-heavy machinery with sorts, scans and
+# scatters, and (c) terminates the prefix-doubling refinement as soon as
+# every group is a singleton (host reads one scalar per level), which for
+# non-repetitive genomes ends after 2-3 levels instead of ~18.
+#
+# Key algorithmic moves vs round 2 (all exact, parity-tested vs numpy):
+#
+# * packed 12-mer level-0 keys built with STATIC rolls (+ a tiny scatter
+#   fixing the <= 11 cyclic-wrap slots per sequence) — no N-sized gathers;
+# * group-start ranks (Larsson-Sadakane convention) so a level is one
+#   2-key sort + one scatter + one gather;
+# * PSV/NSV: boundaries with lcp <= PACK_W via 12 threshold cummax/cummin
+#   passes (no gathers); deeper boundaries via a binary descent BOUNDED by
+#   the level-0 max group size (their interval cannot outgrow their
+#   12-mer group), typically 4-8 levels instead of log2(N) ~ 23;
+# * all-sequences coverage via L[e] = min over sequences of the last
+#   occurrence at or before e (k cummax passes), so allseq([s,e]) = L[e]>=s;
+# * suffix-containment filter via occurrence-END rotations: block i (depth
+#   d_i) is a suffix of a deeper block j iff adv(rep_j, d_j - d_i) lies in
+#   i's interval, and advancing both sides by d_i turns that into
+#   end_rot(j) IN {adv(member, d_i)} — one scatter-max table over rotation
+#   ids + one gather, O(total occurrences) instead of the round-2
+#   (blocks x depth-slots) join that melted down at 529k blocks
+#   (docs/PERFORMANCE.md);  reference semantics: csamsa.c:85-109;
+# * uniqueness: collected intervals are all-seq and pairwise disjoint, so
+#   "exactly once per sequence" is simply interval width == k;
+# * positions via a scatter-min over (block, seq) slots of the expanded
+#   interval members (collectPositions, csamsa.c:114-123).
+# ---------------------------------------------------------------------------
 
-    One device program covering the whole block stage of the reference
-    rotation phase (csamsa.c:271-308: collectNodes, removeSuffixNodes,
-    removeNonUniqueNodes + collectPositions), returning ONE packed int32
-    vector so the host pays a single device round trip (the tunneled-chip
-    transfer latency dominates wall time otherwise).
 
-    Packed layout: [dup, nb, num_distinct,
-                    bstart (cap), bend (cap), bdepth (cap),
-                    keep_suffix (cap), unique (cap),
-                    positions (cap*k, row-major block-major)].
-    ``nb`` may exceed ``cap``; the host must re-run with a larger cap then.
-    """
-    rank_stack, sa, lcp, raw, dup = device_index_program(
-        codes, lengths, k=k, n_max=n_max, levels=levels
-    )
-    collected, start, end, _, _ = collect_program(
-        sa, lcp, lengths, k=k, n_max=n_max, levels=levels
-    )
-    nb, valid, bstart, bend, bdepth = compact_blocks_program(
-        collected, start, end, lcp, cap=cap
-    )
-    M, Mpos = member_tables_program(sa, lengths, k=k, n_max=n_max)
-    cnts, first_pos = uniqueness_counts(M, Mpos, bstart, bend)
-    unique = jnp.all(cnts == 1, axis=0) & valid
-    positions = first_pos.T  # (cap, k)
-    keep_suffix, num_distinct = suffix_filter_program(
-        sa, lcp, lengths, valid, bstart, bend, bdepth,
-        k=k, n_max=n_max, cap=cap, slots=slots,
-    )
+def _n_of_flat(lengths, k: int, n_max: int):
+    """(N,) per-rotation sequence length, built without gathers."""
+    return jnp.broadcast_to(
+        jnp.maximum(lengths, 1)[:, None], (k, n_max)
+    ).reshape(-1)
 
-    packed = jnp.concatenate(
+
+@functools.partial(jax.jit, static_argnames=("k", "n_max"))
+def _pack_keys_program(codes, lengths, *, k: int, n_max: int):
+    """Base-5 packed key of the PACK_W-char cyclic window at every
+    position: static rolls for the bulk, a tiny gather+scatter for the
+    <= PACK_W-1 wrap slots per sequence (and whole short sequences)."""
+    c = codes.astype(jnp.int32)
+    acc = jnp.zeros((k, n_max), jnp.int32)
+    cur = c
+    for t in range(PACK_W):
+        if t:
+            cur = jnp.roll(c, -t, axis=1)
+        acc = acc * _ALPHA + cur
+    packed = acc.reshape(-1)
+
+    # wrap fix: positions p with p + PACK_W - 1 >= n_s read pad/next-row
+    # garbage above; recompute them exactly (k x (PACK_W-1) slots)
+    n_s = jnp.maximum(lengths, 1)[:, None]                     # (k, 1)
+    j = jnp.arange(PACK_W - 1, dtype=jnp.int32)[None, :]       # (1, 11)
+    p = (n_s - (PACK_W - 1) + j) % n_s                         # (k, 11)
+    srow = jnp.arange(k, dtype=jnp.int32)[:, None] * n_max
+    key = jnp.zeros_like(p)
+    cflat = c.reshape(-1)
+    for t in range(PACK_W):
+        key = key * _ALPHA + cflat[srow + (p + t) % n_s]
+    packed = packed.at[(srow + p).reshape(-1)].set(key.reshape(-1))
+    return packed
+
+
+def _group_stats(newgrp, g):
+    """start index, size, tied count and max size of boundary-marked
+    groups over the sorted axis (all elementwise/scan ops)."""
+    n = newgrp.shape[0]
+    start_idx = jax.lax.cummax(jnp.where(newgrp, g, 0))
+    a = jnp.where(newgrp, g, jnp.int32(n))
+    nxt = jnp.concatenate(
+        [jax.lax.cummin(a, reverse=True)[1:], jnp.full(1, n, jnp.int32)]
+    )
+    size = nxt - start_idx
+    num_tied = jnp.sum((size > 1).astype(jnp.int32))
+    max_group = jnp.max(size)
+    return start_idx, num_tied, max_group
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_max"))
+def _level0_program(packed, lengths, *, k: int, n_max: int):
+    """Initial sort by packed key; group-start ranks; tie stats."""
+    n_total = k * n_max
+    g = jnp.arange(n_total, dtype=jnp.int32)
+    pos = g % jnp.int32(n_max)
+    n_of = _n_of_flat(lengths, k, n_max)
+    valid = pos < n_of
+    key = jnp.where(valid, packed, jnp.int32(_SENT0) + g)
+    ks, order = jax.lax.sort((key, g), num_keys=1, is_stable=True)
+    newgrp = jnp.concatenate(
+        [jnp.ones(1, bool), ks[1:] != ks[:-1]]
+    )
+    start_idx, num_tied, max_group = _group_stats(newgrp, g)
+    rank = jnp.zeros(n_total, jnp.int32).at[order].set(start_idx)
+    return order, rank, num_tied, max_group
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_max"))
+def _refine_program(rank, lengths, h, *, k: int, n_max: int):
+    """One prefix-doubling level: rank2 gather + 2-key sort + group-start
+    rank rebuild.  ``h`` is traced, so every level reuses one executable."""
+    n_total = k * n_max
+    g = jnp.arange(n_total, dtype=jnp.int32)
+    base = (g // jnp.int32(n_max)) * jnp.int32(n_max)
+    pos = g - base
+    n_of = _n_of_flat(lengths, k, n_max)
+    r2 = rank[base + (pos + h) % n_of]
+    r1s, r2s, order = jax.lax.sort((rank, r2, g), num_keys=2, is_stable=True)
+    newgrp = jnp.concatenate(
         [
-            jnp.stack([dup.astype(jnp.int32), nb, num_distinct]),
-            bstart,
-            bend,
-            jnp.where(valid, bdepth, 0),
-            keep_suffix.astype(jnp.int32),
-            unique.astype(jnp.int32),
-            positions.astype(jnp.int32).reshape(-1),
+            jnp.ones(1, bool),
+            (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1]),
         ]
     )
-    return packed, rank_stack, sa, lcp, raw
+    start_idx, num_tied, max_group = _group_stats(newgrp, g)
+    rank_new = jnp.zeros(n_total, jnp.int32).at[order].set(start_idx)
+    return order, rank_new, num_tied, max_group
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "n_max", "levels", "cap", "slots")
-)
-def _full_rotation_packed(codes, lengths, *, k, n_max, levels, cap, slots):
-    """Packed-vector-only variant: the rank stack and suffix order are
-    NOT program outputs, so XLA frees each rank level after its last LCP-
-    descent use instead of pinning the whole (levels, k*n_max) stack —
-    the difference between fitting and not fitting Mbp-scale sets in HBM
-    (docs/PERFORMANCE.md memory model)."""
-    packed, *_ = full_rotation_program(
-        codes, lengths, k=k, n_max=n_max, levels=levels, cap=cap, slots=slots
+@functools.partial(jax.jit, static_argnames=("k", "n_max"))
+def _dup_check_program(order, rank, lengths, *, k: int, n_max: int):
+    """Same-sequence identical periodic rotations (fallback trigger)."""
+    rs = rank[order]
+    seq_s = order // jnp.int32(n_max)
+    n_of = _n_of_flat(lengths, k, n_max)
+    valid_s = (order % jnp.int32(n_max)) < n_of[order]
+    return jnp.any(
+        (rs[1:] == rs[:-1]) & (seq_s[1:] == seq_s[:-1]) & valid_s[1:]
     )
-    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_max"))
+def _lcp_step_program(off, rank_t, a, b, n_a, n_b, h, *, k: int, n_max: int):
+    """One binary-descent level of the adjacent-pair LCP (2 gathers)."""
+    base_a = (a // jnp.int32(n_max)) * jnp.int32(n_max)
+    base_b = (b // jnp.int32(n_max)) * jnp.int32(n_max)
+    ga = base_a + (a - base_a + off) % n_a
+    gb = base_b + (b - base_b + off) % n_b
+    eq = rank_t[ga] == rank_t[gb]
+    return jnp.where(eq, off + h, off)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_max"))
+def _lcp_tail_program(off, packed, order, lengths, *, k: int, n_max: int):
+    """Sub-PACK_W tail: compare the two differing packed 12-mer windows
+    digit by digit (arithmetic, no per-char gathers).  Returns the full
+    (N,) raw and capped lcp arrays (index i = boundary sa[i-1]/sa[i])."""
+    n_of = _n_of_flat(lengths, k, n_max)
+    n_sorted = n_of[order]
+    valid_s = (order % jnp.int32(n_max)) < n_sorted
+    a = order[:-1]
+    b = order[1:]
+    n_a = n_sorted[:-1]
+    n_b = n_sorted[1:]
+    base_a = (a // jnp.int32(n_max)) * jnp.int32(n_max)
+    base_b = (b // jnp.int32(n_max)) * jnp.int32(n_max)
+    ka = packed[base_a + (a - base_a + off) % n_a]
+    kb = packed[base_b + (b - base_b + off) % n_b]
+    still = jnp.ones(off.shape, bool)
+    run = jnp.zeros(off.shape, jnp.int32)
+    for i in range(PACK_W):
+        sh = jnp.int32(_ALPHA ** (PACK_W - 1 - i))
+        still = still & ((ka // sh) % _ALPHA == (kb // sh) % _ALPHA)
+        run = run + still.astype(jnp.int32)
+    raw_pair = jnp.where(valid_s[:-1] & valid_s[1:], off + run, 0)
+    cap_pair = jnp.minimum(n_a, n_b)
+    zero = jnp.zeros(1, jnp.int32)
+    raw = jnp.concatenate([zero, raw_pair])
+    lcp = jnp.concatenate([zero, jnp.minimum(raw_pair, cap_pair)])
+    return raw, lcp
+
+
+def _collect_pack_program(
+    order, lcp, lengths, *, k: int, n_max: int, tdeep: int, cap: int,
+    ecap: int, fcap: int = 0
+):
+    """Collect + suffix filter + uniqueness + positions, one program.
+
+    Exact twin of the numpy cascade (cyclic.collect_blocks +
+    remove_suffix_blocks + positions_if_unique; reference csamsa.c:69-257)
+    built from scans, sorts and scatters — see the module-section comment
+    for the per-stage algorithms.  ``tdeep`` must satisfy
+    ``2**tdeep >= max level-0 group size`` (deep intervals cannot outgrow
+    their 12-mer group).  Returns one packed int32 vector:
+    [nb, total_e, bstart(cap), bend(cap), bdepth(cap), keep_suffix(cap),
+    unique(cap), positions(cap*k)] — or, with ``fcap > 0``, the SLIM
+    layout [nb, total_e, n_suffix, n_final, fstart(fcap), fdepth(fcap),
+    fpositions(fcap*k)] carrying only the suffix-free unique blocks the
+    pipeline consumes (the full per-block tables stay on device; at the
+    pathological Mbp sets the full transfer alone costs seconds over the
+    tunnel, docs/PERFORMANCE.md).
+    """
+    n_total = k * n_max
+    idx = jnp.arange(n_total, dtype=jnp.int32)
+    n_of = _n_of_flat(lengths, k, n_max)
+    pos_sorted = order % jnp.int32(n_max)
+    seq_sorted = order // jnp.int32(n_max)
+    valid_s = pos_sorted < n_of[order]
+
+    # ---- PSV/NSV ----
+    BIGN = jnp.int32(n_total)
+    psv = jnp.full(n_total, -1, jnp.int32)
+    nsv = jnp.full(n_total, n_total, jnp.int32)
+    for v in range(1, PACK_W + 1):
+        below = lcp < v
+        rs = jax.lax.cummax(jnp.where(below, idx, -1))
+        ns = jax.lax.cummin(jnp.where(below, idx, BIGN), reverse=True)
+        sel = lcp == v
+        psv = jnp.where(sel, rs, psv)
+        nsv = jnp.where(sel, ns, nsv)
+    # (both scans include self, but self has lcp == v, not < v, so it is
+    # never marked "below" — the inclusive scans are exactly psv/nsv)
+
+    deep = lcp > PACK_W
+    if tdeep > 0:
+        minv = [lcp]
+        for t in range(tdeep - 1):
+            half = 1 << t
+            prev = minv[-1]
+            shifted = jnp.concatenate(
+                [prev[half:], jnp.full(half, jnp.int32(2**30), jnp.int32)]
+            )
+            minv.append(jnp.minimum(prev, shifted))
+        ln = jnp.zeros(n_total, jnp.int32)
+        for t in range(tdeep - 1, -1, -1):
+            j = idx - ln - jnp.int32(1 << t)
+            ok = j >= 0
+            mv = minv[t][jnp.maximum(j, 0)]
+            grow = ok & (mv >= lcp) & deep
+            ln = jnp.where(grow, ln + jnp.int32(1 << t), ln)
+        psv_deep = idx - ln - 1
+        rn = jnp.zeros(n_total, jnp.int32)
+        for t in range(tdeep - 1, -1, -1):
+            j = idx + rn + 1
+            ok = (j + jnp.int32(1 << t) - 1) <= jnp.int32(n_total - 1)
+            mv = minv[t][jnp.minimum(j, n_total - 1)]
+            grow = ok & (mv >= lcp) & deep
+            rn = jnp.where(grow, rn + jnp.int32(1 << t), rn)
+        nsv_deep = idx + rn + 1
+        psv = jnp.where(deep, psv_deep, psv)
+        nsv = jnp.where(deep, nsv_deep, nsv)
+
+    start = jnp.maximum(psv, 0)
+    end = nsv - 1
+    has_node = lcp >= 1
+
+    # ---- all-sequences coverage: L[e] = min_s lastocc_s(e) ----
+    L = None
+    for s in range(k):
+        occ = jnp.where((seq_sorted == s) & valid_s, idx, -1)
+        last = jax.lax.cummax(occ)
+        L = last if L is None else jnp.minimum(L, last)
+    allseq = has_node & (L[end] >= start)
+
+    # ---- canonical representative per (start, end) group ----
+    s_key = jnp.where(has_node, start, BIGN)
+    e_key = jnp.where(has_node, end, BIGN)
+    sk, ek, bidx = jax.lax.sort((s_key, e_key, idx), num_keys=2,
+                                is_stable=True)
+    head = jnp.concatenate(
+        [jnp.ones(1, bool), (sk[1:] != sk[:-1]) | (ek[1:] != ek[:-1])]
+    )
+    seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+    canon_of_seg = (
+        jnp.zeros(n_total, jnp.int32)
+        .at[jnp.where(head, seg_id, n_total - 1)]
+        .set(jnp.where(head, bidx, 0))
+    )
+    canon_arr = (
+        jnp.zeros(n_total, jnp.int32).at[bidx].set(canon_of_seg[seg_id])
+    )
+    is_canon = has_node & (canon_arr == idx)
+
+    # ---- deepest: mark parents of all-seq canonical nodes ----
+    lcp_ext = jnp.concatenate([lcp, jnp.zeros(1, jnp.int32)])
+    left_d = lcp_ext[start]
+    right_d = lcp_ext[jnp.minimum(end + 1, n_total)]
+    parent_bound = jnp.where(left_d >= right_d, start, end + 1)
+    parent_d = jnp.maximum(left_d, right_d)
+    has_parent = is_canon & allseq & (parent_d >= 1)
+    pb = jnp.where(has_parent, jnp.minimum(parent_bound, n_total - 1), 0)
+    parent_canon = canon_arr[pb]
+    haschild = (
+        jnp.zeros(n_total, bool)
+        .at[jnp.where(has_parent, parent_canon, n_total - 1)]
+        .max(has_parent)
+    )
+    collected = is_canon & allseq & ~haschild
+
+    # ---- compact to cap blocks ----
+    nb = jnp.sum(collected).astype(jnp.int32)
+    (bsel,) = jnp.nonzero(collected, size=cap, fill_value=0)
+    bsel = bsel.astype(jnp.int32)
+    validb = jnp.arange(cap, dtype=jnp.int32) < nb
+    bstart = jnp.where(validb, start[bsel], 0)
+    bend = jnp.where(validb, end[bsel], -1)
+    bdepth = jnp.where(validb, lcp[bsel], 0)
+    width = jnp.where(validb, bend - bstart + 1, 0)
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(width, dtype=jnp.int32)]
+    )
+    total_e = offs[cap]
+
+    # ---- expand the (disjoint) collected intervals ----
+    e_idx = jnp.arange(ecap, dtype=jnp.int32)
+    blk = jax.lax.cummax(
+        jnp.zeros(ecap, jnp.int32)
+        .at[jnp.where(validb & (width > 0), jnp.minimum(offs[:cap], ecap - 1), ecap - 1)]
+        .max(jnp.where(validb & (width > 0), jnp.arange(cap, dtype=jnp.int32), 0))
+    )
+    active = e_idx < jnp.minimum(total_e, jnp.int32(ecap))
+    r = jnp.where(active, bstart[blk] + (e_idx - offs[blk]), 0)
+    gmem = order[r]
+    mseq = gmem // jnp.int32(n_max)
+    mpos = gmem % jnp.int32(n_max)
+    mn = n_of[gmem]
+    d_b = bdepth[blk]
+    end_rot = mseq * jnp.int32(n_max) + (mpos + d_b) % mn
+
+    # ---- suffix filter: occurrence-end join ----
+    repg = order[jnp.minimum(bstart, n_total - 1)]
+    rbase = (repg // jnp.int32(n_max)) * jnp.int32(n_max)
+    rep_end = rbase + (repg - rbase + bdepth) % n_of[repg]
+    maxd = (
+        jnp.full(n_total + 1, -1, jnp.int32)
+        .at[jnp.where(validb, rep_end, n_total)]
+        .max(jnp.where(validb, bdepth, -1))
+    )
+    hit = active & (maxd[jnp.minimum(end_rot, n_total - 1)] > d_b)
+    removed = (
+        jnp.zeros(cap, bool)
+        .at[jnp.where(active, blk, cap - 1)]
+        .max(hit)
+    )
+    keep_suffix = validb & ~removed
+
+    # ---- uniqueness + positions ----
+    unique = validb & (width == jnp.int32(k))
+    slot = jnp.where(active, blk * jnp.int32(k) + mseq, 0)
+    BIG = jnp.int32(2**30)
+    minr = (
+        jnp.full(cap * k, BIG, jnp.int32)
+        .at[slot]
+        .min(jnp.where(active, r, BIG))
+    )
+    pos_at = pos_sorted[jnp.minimum(minr, n_total - 1)]
+    positions = jnp.where(minr < BIG, pos_at, 0)
+
+    if fcap:
+        n_suffix = jnp.sum(keep_suffix).astype(jnp.int32)
+        final = keep_suffix & unique
+        n_final = jnp.sum(final).astype(jnp.int32)
+        (fsel,) = jnp.nonzero(final, size=fcap, fill_value=0)
+        fsel = fsel.astype(jnp.int32)
+        fvalid = jnp.arange(fcap, dtype=jnp.int32) < n_final
+        fstart = jnp.where(fvalid, bstart[fsel], 0)
+        fdepth = jnp.where(fvalid, bdepth[fsel], 0)
+        fpos = jnp.where(
+            fvalid[:, None],
+            positions.reshape(cap, k)[fsel],
+            0,
+        )
+        return jnp.concatenate(
+            [
+                jnp.stack([nb, total_e, n_suffix, n_final]),
+                fstart,
+                fdepth,
+                fpos.reshape(-1),
+            ]
+        )
+    packed_out = jnp.concatenate(
+        [
+            jnp.stack([nb, total_e]),
+            bstart,
+            bend,
+            bdepth,
+            keep_suffix.astype(jnp.int32),
+            unique.astype(jnp.int32),
+            positions,
+        ]
+    )
+    return packed_out
+
+
+_collect_pack = functools.partial(
+    jax.jit, static_argnames=("k", "n_max", "tdeep", "cap", "ecap", "fcap")
+)(_collect_pack_program)
+
+
+def _pow2_at_least(x: int, floor: int = 1) -> int:
+    v = max(int(x), floor)
+    return 1 << (v - 1).bit_length()
 
 
 class RotationBlocks:
@@ -639,8 +987,9 @@ class RotationBlocks:
         "num_collected",
     )
 
-    def __init__(self, arr: np.ndarray, cap: int, k: int, nb: int):
-        f = arr[3:]
+    def __init__(self, arr: np.ndarray, cap: int, k: int, nb: int,
+                 header: int = 3):
+        f = arr[header:]
         self.num_collected = nb
         sl = lambda i: f[i * cap : (i + 1) * cap][:nb]
         self.start = sl(0).astype(np.int64)
@@ -668,33 +1017,174 @@ class RotationBlocks:
 
 
 def rotation_blocks_jax(encoded: Sequence[np.ndarray], cap: int = 4096):
-    """Run the fused rotation block stage; returns ``RotationBlocks`` or
-    ``None`` when duplicate within-sequence rotations demand the exact
-    numpy fallback (degenerate periodic inputs, docs/PARITY.md)."""
+    """Run the fast host-driven rotation block stage; returns
+    ``RotationBlocks`` or ``None`` when duplicate within-sequence
+    rotations demand the exact numpy fallback (degenerate periodic
+    inputs, docs/PARITY.md)."""
+    arrays, aux = _device_build(encoded)
+    if arrays is None:
+        return None
+    order, lcp, js = arrays
+    k, n_max, mg0 = aux
+    # deep-descent level count: 2**tdeep >= max level-0 group size,
+    # bucketed to powers of two to bound recompiles
+    tdeep = _tdeep_for(mg0, k, n_max)
+    cap, ecap, _ = _CAPS_CACHE.get((k, n_max), (cap, 0, 0))
+    ecap = max(ecap, _pow2_at_least(cap * (k + 2), 1 << 14))
+    while True:
+        packed = _collect_pack(
+            order, lcp, js, k=k, n_max=n_max, tdeep=tdeep, cap=cap,
+            ecap=ecap,
+        )
+        arr = np.asarray(packed)  # the single bulk device->host transfer
+        nb, total_e = int(arr[0]), int(arr[1])
+        if nb > cap:
+            cap = _pow2_at_least(nb + 1, 4096)
+            ecap = _pow2_at_least(max(ecap, cap * (k + 2)))
+            continue
+        if total_e + 1 > ecap:
+            ecap = _pow2_at_least(total_e + 1)
+            continue
+        _CAPS_CACHE[(k, n_max)] = (cap, ecap, 0)
+        break
+    blocks = RotationBlocks(arr, cap, k, nb, header=2)
+    # normalize to the numpy engine's (start, end) block order
+    o = np.lexsort((blocks.end, blocks.start))
+    blocks.start = blocks.start[o]
+    blocks.end = blocks.end[o]
+    blocks.depth = blocks.depth[o]
+    blocks.keep_suffix = blocks.keep_suffix[o]
+    blocks.unique = blocks.unique[o]
+    blocks.positions = blocks.positions[o]
+    return blocks
+
+
+_CAPS_CACHE: dict = {}  # (k, n_max) -> (cap, ecap, fcap) last known good
+
+
+def _tdeep_for(mg0: int, k: int, n_max: int) -> int:
+    """Deep-descent level count: 2**tdeep >= max level-0 group size,
+    bucketed to powers of two to bound recompiles."""
+    return min(
+        _pow2_at_least(mg0, 16).bit_length() - 1,
+        int(np.ceil(np.log2(max(k * n_max, 2)))) + 1,
+    )
+
+
+class RotationFinal:
+    """Slim pipeline view: only the suffix-free unique blocks, plus the
+    cascade counts (the full per-block tables never leave the device)."""
+
+    __slots__ = (
+        "num_collected", "num_after_suffix", "final_start", "final_depth",
+        "final_positions",
+    )
+
+
+def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096):
+    """Fast pipeline entry: like :func:`rotation_blocks_jax` but transfers
+    only the filtered final blocks (slim packed layout).  Returns a
+    :class:`RotationFinal` or ``None`` on the duplicate-rotation fallback."""
+    arrays, aux = _device_build(encoded)
+    if arrays is None:
+        return None
+    order, lcp, js = arrays
+    k, n_max, mg0 = aux
+    tdeep = _tdeep_for(mg0, k, n_max)
+    ccap, ecap, fcap = _CAPS_CACHE.get((k, n_max), (cap, 0, 0))
+    cap = max(cap, ccap)
+    ecap = max(ecap, _pow2_at_least(cap * (k + 2), 1 << 14))
+    fcap = max(fcap, 4096)
+    while True:
+        packed = _collect_pack(
+            order, lcp, js, k=k, n_max=n_max, tdeep=tdeep, cap=cap,
+            ecap=ecap, fcap=fcap,
+        )
+        arr = np.asarray(packed)  # slim device->host transfer
+        nb, total_e, n_suffix, n_final = (int(x) for x in arr[:4])
+        if nb > cap:
+            cap = _pow2_at_least(nb + 1, 4096)
+            ecap = _pow2_at_least(max(ecap, cap * (k + 2)))
+            continue
+        if total_e + 1 > ecap:
+            ecap = _pow2_at_least(total_e + 1)
+            continue
+        if n_final > fcap:
+            fcap = _pow2_at_least(n_final + 1, 4096)
+            continue
+        _CAPS_CACHE[(k, n_max)] = (cap, ecap, fcap)
+        break
+    out = RotationFinal()
+    out.num_collected = nb
+    out.num_after_suffix = n_suffix
+    f = arr[4:]
+    start = f[:fcap][:n_final].astype(np.int64)
+    depth = f[fcap : 2 * fcap][:n_final].astype(np.int64)
+    pos = f[2 * fcap :].reshape(fcap, k)[:n_final].astype(np.int64)
+    # normalize to the numpy engine's (start, end) block order so the
+    # pipeline's depth-sort sees identical input order on ties (same-start
+    # intervals are nested: deeper <=> smaller end)
+    o = np.lexsort((-depth, start))
+    out.final_start = start[o]
+    out.final_depth = depth[o]
+    out.final_positions = pos[o]
+    return out
+
+
+def _device_build(encoded: Sequence[np.ndarray]):
+    """Shared host-driven build: pack + level-0 sort + early-terminated
+    refinement + LCP.  Returns ((order, lcp, lengths_dev), (k, n_max,
+    max_group0)) plus per-level ranks via the second aux slot, or
+    (None, ranks) when duplicate rotations are present.
+
+    The per-level scalar syncs (num_tied, max_group) cost one ~0.2 ms
+    round trip each and buy early termination: non-repetitive inputs
+    resolve every tie after 2-3 levels and skip the remaining ~15.
+    """
     k = len(encoded)
     sizes = np.array([len(e) for e in encoded], dtype=np.int32)
     n_max = _bucket(int(sizes.max()))
-    levels = _num_levels(n_max)
-    codes = np.zeros((k, n_max), dtype=np.int32)
-    for i, e in enumerate(encoded):
-        codes[i, : len(e)] = e
+    codes = np.zeros((k, n_max), dtype=np.int8)  # int8 upload: the code
+    for i, e in enumerate(encoded):              # matrix is 4x smaller on
+        codes[i, : len(e)] = e                   # the ~30 MB/s tunnel
     jc = jnp.asarray(codes)
     js = jnp.asarray(sizes)
-    slots = MAX_DEPTH_SLOTS
-    while True:
-        packed = _full_rotation_packed(
-            jc, js, k=k, n_max=n_max, levels=levels, cap=cap, slots=slots
+    packed = _pack_keys_program(jc, js, k=k, n_max=n_max)
+    order, rank, num_tied, max_group = _level0_program(
+        packed, js, k=k, n_max=n_max
+    )
+    ranks = [rank]
+    mg0 = int(max_group)
+    nt = int(num_tied)
+    t = 0
+    while nt > 0 and (PACK_W << t) < n_max:
+        order, rank, num_tied, max_group = _refine_program(
+            rank, js, jnp.int32(PACK_W << t), k=k, n_max=n_max
         )
-        arr = np.asarray(packed)  # the single device->host transfer
-        dup, nb, ndepth = int(arr[0]), int(arr[1]), int(arr[2])
-        if dup:
-            return None
-        if nb <= cap and ndepth <= slots:
-            return RotationBlocks(arr, cap, k, nb)
-        if nb > cap:
-            cap = _bucket(nb, 1024)
-        if ndepth > slots:
-            slots = _bucket(ndepth, 256)
+        ranks.append(rank)
+        nt = int(num_tied)
+        t += 1
+    if nt > 0 and bool(
+        _dup_check_program(order, rank, js, k=k, n_max=n_max)
+    ):
+        return None, None
+
+    # adjacent-pair LCP: binary descent over the stored levels + tail
+    n_total = k * n_max
+    a = order[:-1]
+    b = order[1:]
+    n_of = _n_of_flat(js, k, n_max)
+    n_a = n_of[a]
+    n_b = n_of[b]
+    off = jnp.zeros(n_total - 1, jnp.int32)
+    for tt in range(len(ranks) - 1, -1, -1):
+        off = _lcp_step_program(
+            off, ranks[tt], a, b, n_a, n_b, jnp.int32(PACK_W << tt),
+            k=k, n_max=n_max,
+        )
+    raw, lcp = _lcp_tail_program(off, packed, order, js, k=k, n_max=n_max)
+    return (order, lcp, js), (k, n_max, mg0)
+
 
 
 def _index_from_device(rank_stack, sa, lcp, raw, sizes, k, n_max,

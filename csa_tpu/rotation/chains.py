@@ -52,6 +52,9 @@ class Block:
     totalsize: int = 0
     interval: int = 0
     valid: bool = True  # reference encodes invalid as size == -1 pre-assembly
+    # link interval cache: set by link_blocks (vectorized _pair_interval of
+    # (self, self.nextblock)); None when there is no link
+    next_interval: Optional[int] = None
 
     def __hash__(self):
         return id(self)
@@ -76,29 +79,83 @@ def reported_order(blocks: Sequence[Block], k: int, n_k: int) -> List[Block]:
     return [b for e, b in ends if e < window]
 
 
-def link_blocks(blocks: Sequence[Block], sizes: Sequence[int]) -> None:
+def link_blocks(
+    blocks: Sequence[Block],
+    sizes: Sequence[int],
+    *,
+    positions: Optional[np.ndarray] = None,
+    depths: Optional[np.ndarray] = None,
+) -> None:
     """Build the cross-sequence-consistent successor relation.
 
     csamsa.c:143-178: sequence 0's scan sets ``nextblock``; later sequences
     must observe the same immediate successor or the link is invalidated for
     good (valid=False, nextblock=None).  The last reported block of a scan
     imposes no constraint.
+
+    Vectorized: per sequence, one stable argsort over occurrence ends
+    replaces the Python report walk (each block reports at most once per
+    sequence, so the in-order link updates collapse to three masked
+    scatters).  Pass ``positions``/``depths`` to skip re-gathering them
+    from the Block objects (the pipeline has them as arrays already).
+    Per-link intervals (csamsa.c:191-197) are precomputed here in one
+    (nb, k) pass and cached on ``Block.next_interval`` so the chain
+    walk in :func:`assemble_chains` is O(1) per step.
     """
+    nb = len(blocks)
     for b in blocks:
         b.nextblock = None
         b.size = 0
         b.totalsize = 0
         b.valid = True
-    num_seqs = len(sizes)
+        b.next_interval = None
+    if nb == 0:
+        return
+    if positions is None:
+        positions = np.stack([np.asarray(b.positions) for b in blocks])
+    positions = np.asarray(positions, dtype=np.int64)
+    if depths is None:
+        depths = np.fromiter((b.depth for b in blocks), np.int64, nb)
+    depths = np.asarray(depths, dtype=np.int64)
+    sizes_arr = np.asarray(sizes, dtype=np.int64)
+    num_seqs = len(sizes_arr)
+
+    nxt = np.full(nb, -1, dtype=np.int64)
+    valid = np.ones(nb, dtype=bool)
     for k in range(num_seqs):
-        order = reported_order(blocks, k, int(sizes[k]))
-        for prev, cur in zip(order, order[1:]):
-            if prev.valid:
-                if prev.nextblock is None:
-                    prev.nextblock = cur
-                elif prev.nextblock is not cur:
-                    prev.nextblock = None
-                    prev.valid = False
+        ends = positions[:, k] + depths
+        order_k = np.argsort(ends, kind="stable")
+        first = order_k[0]
+        if ends[first] >= sizes_arr[k]:
+            continue  # first report falls outside the initial loop bound
+        window = sizes_arr[k] + positions[first, k]
+        rep = order_k[ends[order_k] < window]
+        prev = rep[:-1]
+        cur = rep[1:]
+        old = nxt[prev]
+        vm = valid[prev]
+        setm = vm & (old == -1)
+        badm = vm & (old != -1) & (old != cur)
+        nxt[prev[setm]] = cur[setm]
+        nxt[prev[badm]] = -1
+        valid[prev[badm]] = False
+
+    # per-link intervals, one vectorized (links, k) pass
+    has = np.nonzero(nxt >= 0)[0]
+    if len(has):
+        tgt = nxt[has]
+        gap = positions[tgt] - (positions[has] + depths[has][:, None])
+        gap += sizes_arr[None, :] * (positions[tgt] < positions[has])
+        iv = gap.min(axis=1)
+    if not valid.all():
+        for i in np.nonzero(~valid)[0].tolist():
+            blocks[i].valid = False
+    for i, j, v in zip(
+        has.tolist(), nxt[has].tolist(), iv.tolist() if len(has) else ()
+    ):
+        b = blocks[i]
+        b.nextblock = blocks[j]
+        b.next_interval = v
 
 
 def _pair_interval(prev: Block, cur: Block, sizes: Sequence[int]) -> int:
@@ -144,7 +201,9 @@ def assemble_chains(
                     "block successor links form a cycle; no consistent "
                     "chain ordering exists for this input"
                 )
-            interval = _pair_interval(prev, cur, sizes)
+            interval = prev.next_interval
+            if interval is None:  # manually built lists (tests/tools)
+                interval = _pair_interval(prev, cur, sizes)
             if interval > maxinterval:
                 prev.nextblock = None
                 break

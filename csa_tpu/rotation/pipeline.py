@@ -84,7 +84,8 @@ def analyze(
         elif backend == "jax":
             from ..index import engine as jax_engine
 
-            fused = jax_engine.rotation_blocks_jax(encoded)
+            # slim entry: only the filtered final blocks cross the tunnel
+            fused = jax_engine.rotation_final_jax(encoded)
         elif backend == "sharded":
             # mesh-parallel block stage + explicit collective chain merge
             # (falls back to the exact numpy path on duplicate rotations,
@@ -101,20 +102,26 @@ def analyze(
 
     if fused is not None:
         # the whole block stage (collect + suffix filter + uniqueness +
-        # positions) ran as ONE device program with ONE transfer
+        # positions) ran on the device with one small packed transfer
         print("> Collecting maximum common subsequences... ", end="", file=log)
         num_collected = fused.num_collected
         print(f"{num_collected} nodes found", file=log)
         if num_collected == 0:
             raise RotationError("No unique subsequences found")
         print("> Removing suffixes... ", end="", file=log)
-        num_after_suffix = int(fused.keep_suffix.sum())
+        if hasattr(fused, "final_start"):  # slim device result
+            num_after_suffix = fused.num_after_suffix
+            fstart = fused.final_start
+            fdepth = fused.final_depth
+            fpos = fused.final_positions
+        else:
+            num_after_suffix = int(fused.keep_suffix.sum())
+            final = fused.keep_suffix & fused.unique
+            fstart = fused.start[final]
+            fdepth = fused.depth[final]
+            fpos = fused.positions[final]
         print(f"{num_after_suffix} nodes left", file=log)
         print("> Removing repeats... ", end="", file=log)
-        final = fused.keep_suffix & fused.unique
-        fstart = fused.start[final]
-        fdepth = fused.depth[final]
-        fpos = fused.positions[final]
         num_after_unique = len(fstart)
     else:
         index = cyclic.build_rotation_index(encoded)
@@ -161,7 +168,9 @@ def analyze(
         )
         for i in order
     ]
-    chains_mod.link_blocks(chain_blocks, sizes)
+    chains_mod.link_blocks(
+        chain_blocks, sizes, positions=fpos[order], depths=fdepth[order]
+    )
     try:
         num_chains = chains_mod.assemble_chains(chain_blocks, sizes, maxinterval)
     except chains_mod.ChainCycleError as e:
