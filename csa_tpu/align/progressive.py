@@ -723,6 +723,7 @@ def progressive_dp_batched(
     gaps: List[List[np.ndarray]],
     *,
     min_batch: int = 2,
+    mesh=None,
 ) -> List[List[np.ndarray]]:
     """Align MANY independent inter-anchor gaps, batching the i-th merge
     of every gap into ONE padded device launch (alignment.c:179-208:
@@ -775,9 +776,14 @@ def progressive_dp_batched(
                 PROFILER.add("dp_cells", len(p[0]) * len(p[1]))
             PROFILER.add("dp_device_dispatches", 1)
             with PROFILER.phase("align.dp_fill"):
-                paths = wavefront.dp_paths_device_batched(
-                    [p for _, p in dev]
-                )
+                if mesh is not None:
+                    paths = wavefront.dp_paths_device_sharded(
+                        [p for _, p in dev], mesh=mesh
+                    )
+                else:
+                    paths = wavefront.dp_paths_device_batched(
+                        [p for _, p in dev]
+                    )
             for (idx, _), path in zip(dev, paths):
                 old_cols, rows = _path_to_maps(path)
                 states[idx].apply(old_cols, rows)

@@ -126,7 +126,15 @@ def run_alignment(
     if deferred:
         if dp_backend in ("jax", "sharded"):
             gaps = [_gap_codes(seg, rotated_codes) for seg in deferred]
-            results = progressive.progressive_dp_batched(gaps)
+            mesh = None
+            if dp_backend == "sharded":
+                # distribute the batched gap-DP launches over the device
+                # mesh (gap axis; alignment.c:179-208 independence)
+                import jax
+                from jax.sharding import Mesh
+
+                mesh = Mesh(np.asarray(jax.devices()), ("gap",))
+            results = progressive.progressive_dp_batched(gaps, mesh=mesh)
         else:
             results = _run_gaps_host(deferred, rotated_codes, dp_backend)
         for seg, strings in zip(deferred, results):

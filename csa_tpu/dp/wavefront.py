@@ -258,22 +258,19 @@ def _batched_path_program(codes, sv, iv, top, erg, rr, cc, *, R: int, C: int,
     )(codes, sv, iv, top, erg, rr, cc)
 
 
-def dp_paths_device_batched(items):
-    """Batched device fill + backtrack for MANY independent gap merges.
+def _pad_batch(items, g_multiple: int = 1):
+    """Pad a list of prepared fills to one bucketed (Gp, Rp, Cp) batch.
 
-    ``items``: list of (row_codes, scorevector, i, top_row, edge_rowgap)
-    tuples (the output of :meth:`GapProgressiveState.prepare`); pads all
-    instances to one bucketed (R, C) and runs a single vmapped program —
-    the i-th merges of every inter-anchor gap become ONE launch
-    (alignment.c:179-208 independence).  Returns the per-item walk-order
-    path codes.
+    The batch axis is bucketed (powers of two, padded with trivial 1x1
+    instances whose results are dropped) — G shrinks as gaps finish
+    their merges, and every distinct G would otherwise be a fresh
+    compile; ``g_multiple`` additionally rounds Gp up to a multiple of
+    the mesh size for the sharded launch path.
     """
-    G = len(items)
     q = PAD_QUANTUM
-    # bucket the batch axis too (pad with trivial 1x1 instances whose
-    # results are dropped) — G shrinks as gaps finish their merges, and
-    # every distinct G would otherwise be a fresh compile
+    G = len(items)
     Gp = max(8, 1 << (G - 1).bit_length())
+    Gp = -(-Gp // g_multiple) * g_multiple
     Rmax = max(len(it[0]) for it in items)
     Cmax = max(len(it[1]) for it in items)
     Rp = max(q, -(-Rmax // q) * q)
@@ -295,11 +292,105 @@ def dp_paths_device_batched(items):
         erg[gdx] = e
         rr[gdx] = R
         cc[gdx] = C
+    return codes, sv, top, iv, erg, rr, cc, Rp, Cp, Gp
+
+
+def dp_paths_device_batched(items):
+    """Batched device fill + backtrack for MANY independent gap merges.
+
+    ``items``: list of (row_codes, scorevector, i, top_row, edge_rowgap)
+    tuples (the output of :meth:`GapProgressiveState.prepare`); pads all
+    instances to one bucketed (R, C) and runs a single vmapped program —
+    the i-th merges of every inter-anchor gap become ONE launch
+    (alignment.c:179-208 independence).  Returns the per-item walk-order
+    path codes.
+    """
+    G = len(items)
+    codes, sv, top, iv, erg, rr, cc, Rp, Cp, _ = _pad_batch(items)
     paths, nsteps = _batched_path_program(
         jnp.asarray(codes), jnp.asarray(sv), jnp.asarray(iv),
         jnp.asarray(top), jnp.asarray(erg), jnp.asarray(rr),
         jnp.asarray(cc), R=Rp, C=Cp, sc=_current_scoring(),
     )
+    paths = np.asarray(paths)
+    nsteps = np.asarray(nsteps)
+    return [paths[gdx, : int(nsteps[gdx])] for gdx in range(G)]
+
+
+_SHARDED_PROGRAMS: dict = {}
+
+
+def _sharded_path_program(mesh, Rp: int, Cp: int, sc):
+    """shard_map of the vmapped fill+backtrack over the mesh "gap" axis.
+
+    Each device runs the identical vmapped program on its local gap
+    shard; there are no cross-shard data dependencies (alignment.c:
+    179-208 gap independence), so no collectives are emitted — the mesh
+    buys pure capacity, which is exactly the distribution SURVEY §5's
+    long-context row asks for on the alignment phase.
+    """
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    key = (id(mesh), Rp, Cp, sc)
+    prog = _SHARDED_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+
+    def body(codes, sv, iv, top, erg, rr, cc):
+        return jax.vmap(
+            lambda c_, s_, i_, t_, e_, r_, cc_: _rowscan_path(
+                c_, s_, i_, t_, e_, r_, cc_, R=Rp, C=Cp, sc=sc
+            )
+        )(codes, sv, iv, top, erg, rr, cc)
+
+    gspec = P("gap")
+    prog = _jax.jit(
+        _shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(gspec,) * 7,
+            out_specs=(gspec, gspec),
+            # the while_loop carries start as unvarying constants and come
+            # back varying over "gap"; skip the static varying-axes check
+            # (the body is per-shard-local with no collectives)
+            check_vma=False,
+        )
+    )
+    _SHARDED_PROGRAMS[key] = prog
+    return prog
+
+
+def dp_paths_device_sharded(items, mesh=None):
+    """Mesh-distributed variant of :func:`dp_paths_device_batched`.
+
+    The gap axis is sharded over a 1D ``("gap",)`` device mesh via
+    shard_map; results are bit-identical to the single-device batched
+    launch (tests/test_sharded_alignment.py).
+    """
+    import jax as _jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        devs = np.asarray(_jax.devices())
+        mesh = Mesh(devs, ("gap",))
+    n_dev = int(np.prod(mesh.devices.shape))
+    G = len(items)
+    codes, sv, top, iv, erg, rr, cc, Rp, Cp, Gp = _pad_batch(
+        items, g_multiple=n_dev
+    )
+    shard = NamedSharding(mesh, P("gap"))
+    args = [
+        _jax.device_put(jnp.asarray(x), shard)
+        for x in (codes, sv, iv, top, erg, rr, cc)
+    ]
+    prog = _sharded_path_program(mesh, Rp, Cp, _current_scoring())
+    paths, nsteps = prog(*args)
     paths = np.asarray(paths)
     nsteps = np.asarray(nsteps)
     return [paths[gdx, : int(nsteps[gdx])] for gdx in range(G)]

@@ -1,0 +1,119 @@
+"""Virtual-mesh scaling measurement for the sharded rotation backend.
+
+BASELINE.md's ">= 0.8 scaling efficiency at 2+ hosts" cannot be measured
+on this machine (one real chip behind a tunnel); what CAN be measured and
+modeled, and what this module produces, is:
+
+* the warm wall time of the sharded block stage at 1/2/4/8 devices of the
+  virtual CPU mesh (``--xla_force_host_platform_device_count``).  All
+  virtual devices timeshare the same physical cores, so these walls
+  validate that the sharded program COMPILES AND RUNS at every mesh size
+  and that adding shards does not add superlinear overhead — they are NOT
+  a hardware speedup curve and are labeled as such;
+* the analytic per-shard work and collective-volume model that governs
+  real-mesh efficiency: per device the block stage touches
+  ``levels * 3 * (N / n_dev)`` sorted int32 elements (prefix-doubling
+  ladder) while the explicit merge moves only ``O(cap)``-sized block
+  tables (psum of uniqueness votes + all_gather of position columns),
+  i.e. the communication:compute byte ratio shrinks linearly in sequence
+  length — the regime where ICI-bound efficiency >= 0.8 is expected.
+
+Run standalone (prints one JSON line)::
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m csa_tpu.parallel.scaling
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _synthetic_set(k: int = 8, n: int = 100_000, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, size=n, dtype=np.int64)
+    enc = []
+    for _ in range(k):
+        row = np.roll(base, int(rng.integers(0, n))).copy()
+        idxs = rng.integers(0, n, size=n // 200)
+        row[idxs] = rng.integers(0, 4, size=n // 200)
+        enc.append(row)
+    return enc
+
+
+def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
+    import jax
+
+    from ..index import engine
+    from . import sharded
+
+    enc = _synthetic_set(k, n)
+    n_dev_avail = len(jax.devices())
+    walls = {}
+    parity_ref = None
+    for d in devices:
+        if d > n_dev_avail or k % d:
+            continue
+        mesh = sharded.make_mesh(d, (d, 1))
+        sharded.rotation_blocks_sharded(enc, mesh=mesh)  # compile + warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rb = sharded.rotation_blocks_sharded(enc, mesh=mesh)
+            times.append(time.perf_counter() - t0)
+        walls[d] = round(min(times), 3)
+        sig = (
+            rb.num_collected,
+            int(rb.keep_suffix.sum()),
+            int((rb.keep_suffix & rb.unique).sum()),
+        )
+        if parity_ref is None:
+            parity_ref = sig
+        elif sig != parity_ref:
+            raise AssertionError(
+                f"sharded cascade diverged at {d} devices: {sig} != {parity_ref}"
+            )
+
+    n_max = engine._bucket(n)
+    N = k * n_max
+    levels = engine._num_levels(n_max)
+    cap = 4096
+    model = {
+        # per-device bytes touched by the sort ladder (3 int32 operands)
+        "per_device_sort_bytes": {
+            d: int(levels * 3 * 4 * N / d) for d in walls
+        },
+        # collective payloads of the explicit merge (shard_map stage):
+        # psum votes (cap int32) + all_gather positions (cap * k/d int32
+        # per device step)
+        "collective_bytes_per_merge": {
+            d: int(4 * cap + 4 * cap * k // d) for d in walls
+        },
+    }
+    for d in walls:
+        model[f"comm_to_compute_ratio_{d}dev"] = round(
+            model["collective_bytes_per_merge"][d]
+            / model["per_device_sort_bytes"][d],
+            6,
+        )
+    return {
+        "workload": f"{k}x{n//1000}kbp synthetic (0.5% mutations)",
+        "virtual_mesh_walls_s": walls,
+        "cascade_parity_across_meshes": True,
+        "note": (
+            "virtual CPU devices timeshare the same cores; walls validate "
+            "sharded compile+run at every mesh size, not hardware speedup"
+        ),
+        "model": model,
+    }
+
+
+def main():
+    print(json.dumps(measure()))
+
+
+if __name__ == "__main__":
+    main()

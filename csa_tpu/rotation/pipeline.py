@@ -28,6 +28,39 @@ class RotationError(RuntimeError):
     pass
 
 
+# `auto` crossover: below this many total characters the native host
+# engine's ~30 ms latency beats any device dispatch chain; above it the
+# device engine wins (8x1 Mbp measured: 8-11 s device vs 12.7-14 s
+# native on this hardware — docs/PERFORMANCE.md).  Override with
+# CSA_TPU_AUTO_DEVICE_MIN (characters).
+AUTO_DEVICE_MIN_CHARS = 4_000_000
+
+
+def resolve_auto_backend(total_chars: int) -> str:
+    """Size-dependent `auto` resolution: native for latency-bound small
+    inputs, the device engine where the silicon wins (and an accelerator
+    is actually present; the virtual-CPU test mesh does not count)."""
+    import os
+
+    from .. import native
+
+    threshold = int(
+        os.environ.get("CSA_TPU_AUTO_DEVICE_MIN", AUTO_DEVICE_MIN_CHARS)
+    )
+    have_native = native.available()
+    if have_native and total_chars < threshold:
+        return "native"
+    try:
+        import jax
+
+        accel = any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        accel = False
+    if accel:
+        return "jax"
+    return "native" if have_native else "jax"
+
+
 @dataclass
 class RotationResult:
     rotations: np.ndarray  # (K,) start offset per sequence
@@ -61,14 +94,7 @@ def analyze(
     encoded = seqs.encoded_all()
 
     if backend == "auto":
-        # the native radix-sort engine wins every size measured on this
-        # hardware (docs/PERFORMANCE.md: 12x at 16 kbp, 8x1 Mbp in 14 s,
-        # 4x5 Mbp in 152 s, vs sort-bound device execution + a remote
-        # XLA compile service of highly variable latency); the device
-        # engines are explicit opt-ins (--backend jax / sharded)
-        from .. import native
-
-        backend = "native" if native.available() else "jax"
+        backend = resolve_auto_backend(int(np.sum(sizes)))
 
     from ..utils.profiling import PROFILER
 

@@ -138,33 +138,68 @@ def run_rotation_job(fasta_path: str, minblocksize: int = 10) -> dict:
     }
 
 
+def _imagemap_areas(path: str) -> str:
+    """Build a real ``<map name="blocksmap">`` element from the
+    ``-imagemap.txt`` data file (lines: seq x0 y0 x1 y1 size rotated),
+    like the reference PHP parses its map data into ``<area>`` tags
+    (/root/reference/website/index.php:383-405).  Clicking a block jumps
+    to (and highlights) its track's row region in the positions table.
+    """
+    if not os.path.exists(path):
+        return ""
+    areas = []
+    row = -1
+    with open(path) as f:
+        f.readline()  # "width height" header
+        for line in f:
+            parts = line.split()
+            if len(parts) != 7:
+                continue
+            seq, x0, y0, x1, y1, size, rotated = (int(v) for v in parts)
+            if seq == 0:
+                row += 1  # each drawn chain emits its k areas seq-0-first
+            title = (
+                f"sequence {seq + 1}: block size {size} at rotated "
+                f"position {rotated}"
+            )
+            areas.append(
+                f'<area shape="rect" coords="{x0},{y0},{max(x0, x1)},{y1}" '
+                f'href="#row{max(row, 0)}" title="{html.escape(title)}" '
+                f'alt="{html.escape(title)}">'
+            )
+    if not areas:
+        return ""
+    return '<map name="blocksmap" id="blocksmap">' + "".join(areas) + "</map>"
+
+
 def _render_results(job: dict, token: str) -> str:
     out = ["<hr><h2>Results</h2>"]
     out.append(f"<pre class=console>{html.escape(job['log'])}</pre>")
-    # image with clickable map
-    imap = ""
-    if os.path.exists(job["imagemap"]):
-        imap = open(job["imagemap"]).read()
-    out.append(imap)
+    # image with a clickable map built from the imagemap data file
+    out.append(_imagemap_areas(job["imagemap"]))
     out.append(
         f'<p><img src="/file?t={token}&k=image" usemap="#blocksmap" '
         f'alt="block map"></p>'
     )
-    # positions table
+    # positions table (rows carry ids the image-map areas link to)
     if os.path.exists(job["positions"]):
         rows = [
-            line.rstrip("\n").split("\t")
+            line.split()
             for line in open(job["positions"])
             if line.strip()
         ]
         if rows:
+            k = int(rows[0][0]) if rows[0] and rows[0][0].isdigit() else 0
             out.append('<table class="sortable"><thead><tr>')
-            for cell in rows[0]:
+            header = ["R", "G", "B", "Size"] + [
+                f"Position_{i + 1}" for i in range(k)
+            ]
+            for cell in header:
                 out.append(f"<th>{html.escape(cell)}</th>")
             out.append("</tr></thead><tbody>")
-            for row in rows[1:]:
+            for ri, row in enumerate(rows[1:]):
                 out.append(
-                    "<tr>"
+                    f'<tr id="row{ri}">'
                     + "".join(f"<td>{html.escape(c)}</td>" for c in row)
                     + "</tr>"
                 )

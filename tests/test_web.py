@@ -45,6 +45,16 @@ def test_upload_and_results(server):
     text = urllib.request.urlopen(req, timeout=120).read().decode()
     assert "Results" in text
     assert "Download Rotated FASTA" in text
+    # the block map is actually clickable: a real <map> with <area> tags
+    # built from the imagemap data (reference index.php:383-405), whose
+    # hrefs land on positions-table row anchors
+    assert '<map name="blocksmap"' in text
+    assert "<area " in text
+    import re as _re
+
+    hrefs = set(_re.findall(r'href="#(row\d+)"', text))
+    ids = set(_re.findall(r'<tr id="(row\d+)"', text))
+    assert hrefs and hrefs <= ids
     # the rotated-FASTA artifact downloads and carries the @ rotations
     import re
 
