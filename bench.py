@@ -9,14 +9,21 @@ wall-clock at 1 host`` north star reads directly off ``vs_baseline``.
 Extra fields (recorded in the same JSON line):
 
 - full pipeline (rotate + align + images) wall time vs the reference's
-  ~9.5 s user, with a byte-identity check of the aligned FASTA;
-- device rotation path (``--backend jax``) wall time — dominated by the
-  network tunnel to the chip, reported for honesty;
+  ~9.5 s user, with a byte-identity check of the aligned FASTA — on BOTH
+  the native and the device (``--backend jax``) paths;
+- device rotation at Primates scale AND at the 8x1 Mbp BASELINE config,
+  head-to-head against the native engine (the device engine wins at Mbp
+  scale and `auto` picks it there);
+- the rotation-verification oracle (Pallas pairwise NW) on the Primates
+  rotations, run every bench;
 - Pallas pairwise-NW kernel sustained Gcell/s over a shape sweep
   (dispatch-amortizing long-L shapes included), exactness vs the native
   C++ host kernel over the FULL batch, and an estimated %-of-VPU-peak
   (assumptions documented in docs/PERFORMANCE.md);
-- Mbp capacity: 8x1 Mbp synthetic rotation on the native engine.
+- the production row-scan profile-DP device kernel's sustained Gcell/s;
+- Mbp capacity: 8x1 Mbp synthetic rotation on the native engine;
+- the virtual-mesh sharded scaling walls + collective-volume model
+  (subprocess on the 8-device CPU mesh; see parallel/scaling.py).
 
 Prints ONE JSON line.
 """
@@ -99,7 +106,7 @@ def bench_rotation(seqs, backend):
     return min(times), parity
 
 
-def bench_full_pipeline():
+def bench_full_pipeline(backend="native"):
     """Full `N` mode via the CLI (in-process) in a temp dir; returns
     (wall_s, aligned byte-identical to the reference fixture).
 
@@ -118,16 +125,18 @@ def bench_full_pipeline():
         sink = io.StringIO()
         t0 = time.perf_counter()
         with contextlib.redirect_stdout(sink):
-            rc = cli.main([inp, "--backend", "native"])
+            rc = cli.main([inp, "--backend", backend])
         wall = time.perf_counter() - t0
         if rc != 0:
             return wall, False, 0.0
-        shutil.copy(REPO / "tests" / "fixtures" / "Set3.txt", td)
-        inp3 = str(pathlib.Path(td, "Set3.txt"))
-        t0 = time.perf_counter()
-        with contextlib.redirect_stdout(io.StringIO()):
-            cli.main([inp3, "--backend", "native"])
-        set3_wall = time.perf_counter() - t0
+        set3_wall = 0.0
+        if backend == "native":
+            shutil.copy(REPO / "tests" / "fixtures" / "Set3.txt", td)
+            inp3 = str(pathlib.Path(td, "Set3.txt"))
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(io.StringIO()):
+                cli.main([inp3, "--backend", "native"])
+            set3_wall = time.perf_counter() - t0
         # the fixture was produced by `A` mode on the rotated file, whose
         # headers carry an extra " @ 0"; sequence lines must match exactly
         def _norm(text):
@@ -197,14 +206,10 @@ def bench_kernel():
     }
 
 
-def bench_mbp():
-    """Native engine on the BASELINE 8x1 Mbp synthetic circular config."""
+def _mbp_set(n=1_000_000, k=8, seed=7):
     import numpy as np
 
-    from csa_tpu.rotation import pipeline as rot
-
-    rng = np.random.default_rng(7)
-    n, k = 1_000_000, 8
+    rng = np.random.default_rng(seed)
     base = rng.integers(0, 4, size=n, dtype=np.int64)
     enc = []
     for _ in range(k):
@@ -220,20 +225,104 @@ def bench_mbp():
         def encoded_all(self):
             return enc
 
+    return _Seqs()
+
+
+def bench_mbp(backend="native"):
+    """Rotation analysis on the BASELINE 8x1 Mbp synthetic config."""
+    from csa_tpu.rotation import pipeline as rot
+
+    seqs = _mbp_set()
     t0 = time.perf_counter()
-    rot.analyze(_Seqs(), log=io.StringIO(), backend="native")
-    return time.perf_counter() - t0
+    res = rot.analyze(seqs, log=io.StringIO(), backend=backend)
+    wall = time.perf_counter() - t0
+    return wall, res.rotations
+
+
+def bench_rowscan_dp():
+    """Production row-scan profile-DP device kernel: sustained Gcell/s
+    (fused fill + on-device backtrack, dp/wavefront.py)."""
+    import numpy as np
+
+    from csa_tpu.align import progressive
+    from csa_tpu.dp import wavefront
+
+    rng = np.random.default_rng(2)
+    R = C = 8192
+    i = 5
+    codes = rng.integers(0, 4, size=R).astype(np.int8)
+    sv = rng.integers(0, 3, size=(C, 5)).astype(np.int64)
+    top = progressive.default_top_row(sv, i)
+    wavefront.dp_path_device(codes, sv, i, top_row=top, edge_rowgap=-i)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wavefront.dp_path_device(codes, sv, i, top_row=top, edge_rowgap=-i)
+        times.append(time.perf_counter() - t0)
+    return R * C / min(times) / 1e9
+
+
+def bench_verification():
+    """Rotation-verification oracle (SURVEY §7 M1) on the Primates picks."""
+    from csa_tpu.rotation import pipeline as rot
+    from csa_tpu.rotation import verification
+
+    seqs = _load_primates()
+    res = rot.analyze(seqs, log=io.StringIO(), backend="native")
+    v = verification.verify_rotations(
+        seqs.encoded_all(), res.rotations, samples=8, log=io.StringIO()
+    )
+    return {
+        "rotation_verification_confirmed": f"{v.num_confirmed}/{v.num_checked}",
+        "rotation_verification_all_confirmed": v.all_confirmed,
+    }
+
+
+def bench_sharded_scaling():
+    """Virtual-mesh scaling walls + collective model (CPU subprocess)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, "-m", "csa_tpu.parallel.scaling"],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=str(REPO),
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return {"sharded_scaling": json.loads(line)}
+    return {"sharded_scaling_error": (proc.stderr or "no output")[-300:]}
 
 
 def device_parts() -> dict:
     """Chip-dependent measurements (compiles may take minutes when the
     remote compile service is loaded; run under a watchdog)."""
+    import numpy as np
+
     seqs = _load_primates()
     jax_wall, jax_parity = bench_rotation(seqs, "jax")
     out = {
         "device_rotation_wall_s": round(jax_wall, 3),
         "device_rotation_parity": jax_parity,
     }
+    # device end-to-end pipeline (VERDICT r2 item 2)
+    pipe_wall, identical, _ = bench_full_pipeline(backend="jax")
+    out["full_pipeline_jax_wall_s"] = round(pipe_wall, 2)
+    out["aligned_fasta_byte_identical_jax"] = identical
+    # the Mbp head-to-head: device engine vs the native host engine
+    mbp_jax, rot_jax = bench_mbp(backend="jax")
+    mbp_nat, rot_nat = bench_mbp(backend="native")
+    out["mbp_rotation_8x1m_jax_wall_s"] = round(mbp_jax, 1)
+    out["mbp_rotation_8x1m_native_wall_s"] = round(mbp_nat, 1)
+    out["mbp_jax_vs_native"] = round(mbp_nat / mbp_jax, 2)
+    out["mbp_rotations_jax_equal_native"] = bool(
+        np.array_equal(rot_jax, rot_nat)
+    )
+    out["dp_rowscan_gcells_per_s"] = round(bench_rowscan_dp(), 2)
+    out.update(bench_verification())
     out.update(bench_kernel())
     return out
 
@@ -249,7 +338,7 @@ def main() -> None:
     seqs = _load_primates()
     rot_wall, rot_parity = bench_rotation(seqs, "auto")
     pipe_wall, aligned_identical, set3_wall = bench_full_pipeline()
-    mbp_wall = bench_mbp()
+    scaling = bench_sharded_scaling()
 
     # the device measurements hang on the remote XLA compile service when
     # it is degraded; a watchdog subprocess keeps the JSON line landing
@@ -290,9 +379,12 @@ def main() -> None:
         "set3_vs_reference_wall": round(
             SET3_BASELINE_S / set3_wall, 2
         ) if set3_wall else None,
-        "mbp_rotation_8x1m_native_wall_s": round(mbp_wall, 1),
     }
+    out.update(scaling)
     out.update(dev)
+    if "mbp_rotation_8x1m_native_wall_s" not in out:
+        wall, _ = bench_mbp()
+        out["mbp_rotation_8x1m_native_wall_s"] = round(wall, 1)
     print(json.dumps(out))
 
 

@@ -236,7 +236,11 @@ def compute_border_nodes(
     cap = idx.cap
     lcp = idx.lcp
 
-    if backend == "native":
+    # the attach stats are host-side sweeps regardless of which backend
+    # built the suffix index; the C++ kernels are the fastest host path,
+    # so every backend uses them when built (the numpy twin below is the
+    # exactness reference and the no-toolchain fallback)
+    if backend in ("native", "jax"):
         from .. import native
 
         res = native.anchor_attach(seq, lcp, cap, k)

@@ -44,11 +44,27 @@ def _synthetic_set(k: int = 8, n: int = 100_000, seed: int = 11):
     return enc
 
 
+def _force_virtual_devices(n_devices: int = 8) -> None:
+    """Re-point JAX at ``n_devices`` virtual CPU devices (the axon
+    sitecustomize pins the single tunneled chip as the platform before
+    env flags can take effect — same dance as __graft_entry__)."""
+    import jax
+    import jax.extend.backend
+
+    if len(jax.devices()) >= n_devices:
+        return
+    jax.extend.backend.clear_backends()
+    jax.config.update("jax_num_cpu_devices", n_devices)
+    jax.config.update("jax_platforms", "cpu")
+
+
 def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
     import jax
 
     from ..index import engine
     from . import sharded
+
+    _force_virtual_devices(max(devices))
 
     enc = _synthetic_set(k, n)
     n_dev_avail = len(jax.devices())
