@@ -552,7 +552,19 @@ def delete_gapped_columns(
 # a device merge only pays off when the matrix amortizes the dispatch;
 # below this cell count the native host kernel wins (measured on the
 # tunneled v5e: dispatch+path transfer ~1-2 ms vs ~0.5 Gcell/s host fill)
-DEVICE_MIN_CELLS = 1 << 21
+# Per-merge device gate: below this many cells the native host fill wins
+# outright against a tunneled-chip dispatch (measured: a 21M-cell fill is
+# 17 ms native vs ~90 ms device incl. transfer; the crossover sits around
+# 1-2e8 cells on this link).  Raise/lower via CSA_TPU_DEVICE_MIN_CELLS.
+DEVICE_MIN_CELLS = int(__import__("os").environ.get(
+    "CSA_TPU_DEVICE_MIN_CELLS", 150_000_000
+))
+# Whole-round gate for the batched launch: a 49-gap round of small merges
+# costs one ~0.4 s dispatch round trip but only ~3M cells of work — the
+# host clears it in milliseconds.  Rounds below this total go host-side.
+BATCH_DEVICE_MIN_CELLS = int(__import__("os").environ.get(
+    "CSA_TPU_BATCH_MIN_CELLS", 100_000_000
+))
 BATCH_DIRS_CAP = 1 << 30  # max padded batched direction-tensor bytes
 
 
@@ -771,6 +783,14 @@ def progressive_dp_batched(
                 old_cols, rows = _fill_to_maps(p, "jax")
                 states[idx].apply(old_cols, rows)
             dev = batch
+        round_cells = sum(len(p[0]) * len(p[1]) for _, p in dev)
+        if dev and mesh is None and round_cells < BATCH_DEVICE_MIN_CELLS:
+            # the whole round is cheaper on the host than one dispatch
+            # round trip over the tunnel; run it there (bit-identical)
+            for idx, p in dev:
+                old_cols, rows = _fill_to_maps(p, "numpy")
+                states[idx].apply(old_cols, rows)
+            dev = []
         if len(dev) >= min_batch:
             for (idx, p) in dev:
                 PROFILER.add("dp_cells", len(p[0]) * len(p[1]))
