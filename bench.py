@@ -306,31 +306,48 @@ def bench_sharded_scaling():
 
 def device_parts() -> dict:
     """Chip-dependent measurements (compiles may take minutes when the
-    remote compile service is loaded; run under a watchdog)."""
+    remote compile service is loaded; run under a watchdog).  Each stage
+    is isolated so one failure cannot lose the others' fields."""
     import numpy as np
 
-    seqs = _load_primates()
-    jax_wall, jax_parity = bench_rotation(seqs, "jax")
-    out = {
-        "device_rotation_wall_s": round(jax_wall, 3),
-        "device_rotation_parity": jax_parity,
-    }
-    # device end-to-end pipeline (VERDICT r2 item 2)
-    pipe_wall, identical, _ = bench_full_pipeline(backend="jax")
-    out["full_pipeline_jax_wall_s"] = round(pipe_wall, 2)
-    out["aligned_fasta_byte_identical_jax"] = identical
-    # the Mbp head-to-head: device engine vs the native host engine
-    mbp_jax, rot_jax = bench_mbp(backend="jax")
-    mbp_nat, rot_nat = bench_mbp(backend="native")
-    out["mbp_rotation_8x1m_jax_wall_s"] = round(mbp_jax, 1)
-    out["mbp_rotation_8x1m_native_wall_s"] = round(mbp_nat, 1)
-    out["mbp_jax_vs_native"] = round(mbp_nat / mbp_jax, 2)
-    out["mbp_rotations_jax_equal_native"] = bool(
-        np.array_equal(rot_jax, rot_nat)
-    )
-    out["dp_rowscan_gcells_per_s"] = round(bench_rowscan_dp(), 2)
-    out.update(bench_verification())
-    out.update(bench_kernel())
+    out: dict = {}
+
+    def stage(fn, name):
+        try:
+            fn()
+        except Exception as e:  # record, keep going
+            out[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    def _rot():
+        seqs = _load_primates()
+        jax_wall, jax_parity = bench_rotation(seqs, "jax")
+        out["device_rotation_wall_s"] = round(jax_wall, 3)
+        out["device_rotation_parity"] = jax_parity
+
+    def _pipe():  # device end-to-end pipeline (VERDICT r2 item 2)
+        pipe_wall, identical, _ = bench_full_pipeline(backend="jax")
+        out["full_pipeline_jax_wall_s"] = round(pipe_wall, 2)
+        out["aligned_fasta_byte_identical_jax"] = identical
+
+    def _mbp():  # the Mbp head-to-head: device engine vs native engine
+        mbp_jax, rot_jax = bench_mbp(backend="jax")
+        mbp_nat, rot_nat = bench_mbp(backend="native")
+        out["mbp_rotation_8x1m_jax_wall_s"] = round(mbp_jax, 1)
+        out["mbp_rotation_8x1m_native_wall_s"] = round(mbp_nat, 1)
+        out["mbp_jax_vs_native"] = round(mbp_nat / mbp_jax, 2)
+        out["mbp_rotations_jax_equal_native"] = bool(
+            np.array_equal(rot_jax, rot_nat)
+        )
+
+    def _rowscan():
+        out["dp_rowscan_gcells_per_s"] = round(bench_rowscan_dp(), 2)
+
+    stage(_rot, "device_rotation")
+    stage(_pipe, "full_pipeline_jax")
+    stage(_mbp, "mbp_device")
+    stage(_rowscan, "dp_rowscan")
+    stage(lambda: out.update(bench_verification()), "rotation_verification")
+    stage(lambda: out.update(bench_kernel()), "dp_kernel")
     return out
 
 

@@ -128,6 +128,13 @@ def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
 
 
 def main():
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     print(json.dumps(measure()))
 
 

@@ -47,7 +47,7 @@ def verify_rotations(
     encoded: Sequence[np.ndarray],
     rotations: Sequence[int],
     *,
-    samples: int = 3,
+    samples: int = 8,
     log: Optional[TextIO] = None,
     interpret: bool = False,
 ) -> RotationVerification:
@@ -86,8 +86,18 @@ def verify_rotations(
 
     a = np.stack(rows)
     b = np.broadcast_to(ref, a.shape).copy()
-    scores = pallas_nw.pairwise_nw_scores(a, b, interpret=interpret)
-    scores = scores.reshape(k - 1, per_seq)
+    # chunk the batch: the kernel's VMEM working set is ~5 row-buffers of
+    # padded length; large k x samples batches (e.g. 15 seqs x 9 cands at
+    # mtDNA length) exceed the scoped VMEM budget in one launch.  Chunks
+    # are whole multiples of per_seq so comparisons stay within-sequence.
+    max_rows = max(per_seq, (48 // per_seq) * per_seq)
+    parts = [
+        pallas_nw.pairwise_nw_scores(
+            a[i : i + max_rows], b[i : i + max_rows], interpret=interpret
+        )
+        for i in range(0, len(a), max_rows)
+    ]
+    scores = np.concatenate(parts).reshape(k - 1, per_seq)
 
     chosen = scores[:, 0]
     best_alt = scores[:, 1:].max(axis=1)
