@@ -1081,11 +1081,19 @@ class RotationFinal:
     )
 
 
-def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096):
+def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
+                       mesh=None):
     """Fast pipeline entry: like :func:`rotation_blocks_jax` but transfers
     only the filtered final blocks (slim packed layout).  Returns a
-    :class:`RotationFinal` or ``None`` on the duplicate-rotation fallback."""
-    arrays, aux = _device_build(encoded)
+    :class:`RotationFinal` or ``None`` on the duplicate-rotation fallback.
+
+    With ``mesh`` (a ``(seq, pos)`` device mesh) the input code matrix is
+    placed sharded and every stage program runs under GSPMD — XLA
+    partitions the sorts/scans and inserts the collectives.  The explicit
+    hand-written collective merge lives in
+    :func:`csa_tpu.parallel.sharded.rotation_blocks_sharded`; this path
+    is the same round-3 algorithm as single-device, just sharded."""
+    arrays, aux = _device_build(encoded, mesh=mesh)
     if arrays is None:
         return None
     order, lcp, js = arrays
@@ -1131,11 +1139,10 @@ def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096):
     return out
 
 
-def _device_build(encoded: Sequence[np.ndarray]):
+def _device_build(encoded: Sequence[np.ndarray], mesh=None):
     """Shared host-driven build: pack + level-0 sort + early-terminated
     refinement + LCP.  Returns ((order, lcp, lengths_dev), (k, n_max,
-    max_group0)) plus per-level ranks via the second aux slot, or
-    (None, ranks) when duplicate rotations are present.
+    max_group0)), or (None, None) when duplicate rotations are present.
 
     The per-level scalar syncs (num_tied, max_group) cost one ~0.2 ms
     round trip each and buy early termination: non-repetitive inputs
@@ -1144,11 +1151,24 @@ def _device_build(encoded: Sequence[np.ndarray]):
     k = len(encoded)
     sizes = np.array([len(e) for e in encoded], dtype=np.int32)
     n_max = _bucket(int(sizes.max()))
+    if mesh is not None:
+        pos_axis = int(mesh.shape.get("pos", 1))
+        n_max = -(-n_max // pos_axis) * pos_axis
     codes = np.zeros((k, n_max), dtype=np.int8)  # int8 upload: the code
     for i, e in enumerate(encoded):              # matrix is 4x smaller on
         codes[i, : len(e)] = e                   # the ~30 MB/s tunnel
-    jc = jnp.asarray(codes)
-    js = jnp.asarray(sizes)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        jc = jax.device_put(
+            jnp.asarray(codes), NamedSharding(mesh, P("seq", "pos"))
+        )
+        js = jax.device_put(
+            jnp.asarray(sizes), NamedSharding(mesh, P("seq"))
+        )
+    else:
+        jc = jnp.asarray(codes)
+        js = jnp.asarray(sizes)
     packed = _pack_keys_program(jc, js, k=k, n_max=n_max)
     order, rank, num_tied, max_group = _level0_program(
         packed, js, k=k, n_max=n_max

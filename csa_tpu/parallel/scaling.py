@@ -74,17 +74,18 @@ def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
         if d > n_dev_avail or k % d:
             continue
         mesh = sharded.make_mesh(d, (d, 1))
-        sharded.rotation_blocks_sharded(enc, mesh=mesh)  # compile + warm
+        # the production sharded path: round-3 engine under GSPMD
+        engine.rotation_final_jax(enc, mesh=mesh)  # compile + warm
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            rb = sharded.rotation_blocks_sharded(enc, mesh=mesh)
+            rb = engine.rotation_final_jax(enc, mesh=mesh)
             times.append(time.perf_counter() - t0)
         walls[d] = round(min(times), 3)
         sig = (
             rb.num_collected,
-            int(rb.keep_suffix.sum()),
-            int((rb.keep_suffix & rb.unique).sum()),
+            rb.num_after_suffix,
+            len(rb.final_start),
         )
         if parity_ref is None:
             parity_ref = sig

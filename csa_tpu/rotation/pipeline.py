@@ -113,18 +113,23 @@ def analyze(
             # slim entry: only the filtered final blocks cross the tunnel
             fused = jax_engine.rotation_final_jax(encoded)
         elif backend == "sharded":
-            # mesh-parallel block stage + explicit collective chain merge
-            # (falls back to the exact numpy path on duplicate rotations,
-            # like the single-device jax backend)
+            # mesh-parallel block stage: the round-3 engine under GSPMD
+            # (XLA partitions the sorts/scans over the (seq, pos) mesh);
+            # the explicit shard_map collective merge variant remains in
+            # parallel/sharded.py (exercised by dryrun_multichip/tests).
+            # Falls back to the exact numpy path on duplicate rotations,
+            # like the single-device jax backend.
+            from ..index import engine as jax_engine
             from ..parallel import sharded
 
-            mesh = None
             if mesh_shape:
                 shape = tuple(int(x) for x in mesh_shape)
                 mesh = sharded.make_mesh(
                     n_devices=shape[0] * shape[1], shape=shape
                 )
-            fused = sharded.rotation_blocks_sharded(encoded, mesh=mesh)
+            else:
+                mesh = sharded.make_mesh()
+            fused = jax_engine.rotation_final_jax(encoded, mesh=mesh)
 
     if fused is not None:
         # the whole block stage (collect + suffix filter + uniqueness +
