@@ -53,7 +53,10 @@ class RunConfig:
     max_interval: int = INT_MAX       # csamsa.c:575
     mesh_shape: tuple | None = None   # (seq, pos) axes for --backend sharded
     pack_w: int = 12                  # k-mer packing width of the index
-    #                                   engines (5**pack_w must fit int32)
+    #                                   engines (5**pack_w must fit int32;
+    #                                   set via CSA_TPU_PACK_W at process
+    #                                   start — it shapes every compiled
+    #                                   device program)
 
 
 DEFAULT_SCORING = Scoring()

@@ -39,13 +39,15 @@ def _bucket(n: int, quantum: int = 1024) -> int:
 
 
 # Cyclic prefix-doubling starts from a PACKED window: the level-0 rank is
-# the base-5 encoding of the first PACK_W cyclic chars (5**12 < 2**31),
-# resolving 12 chars with ZERO sorts; level t covers PACK_W << t chars.
-# This drops ~4 of the multi-key sort passes (the dominant device cost —
-# XLA TPU sort is comparator-network bound) and shrinks the rank stack
-# by the same factor.  Sub-PACK_W granularity (LCP tail, short
-# fingerprints) reads the code array directly.
-PACK_W = 12
+# the base-5 encoding of the first PACK_W cyclic chars (5**PACK_W must
+# fit int32, so PACK_W <= 13), resolving PACK_W chars with ZERO sorts;
+# level t covers PACK_W << t chars.  Sub-PACK_W granularity (LCP tail,
+# short fingerprints) reads the code array directly.  Configurable per
+# process via CSA_TPU_PACK_W (config.RunConfig.pack_w documents it); a
+# process-start constant because it shapes every compiled program.
+import os as _os
+
+PACK_W = max(2, min(13, int(_os.environ.get("CSA_TPU_PACK_W", 12))))
 _ALPHA = 5  # alphabet (ACGT-)
 _SENT0 = _ALPHA ** PACK_W  # level-0 pad sentinel base (above all keys)
 
