@@ -339,12 +339,24 @@ def device_parts() -> dict:
             np.array_equal(rot_jax, rot_nat)
         )
 
+    def _mbp5():  # the 4x5 Mbp BASELINE config finishes on device
+        seqs = _mbp_set(n=5_000_000, k=4, seed=13)
+        from csa_tpu.rotation import pipeline as rot
+
+        rot.analyze(seqs, log=io.StringIO(), backend="jax")  # warm/caps
+        t0 = time.perf_counter()
+        rot.analyze(seqs, log=io.StringIO(), backend="jax")
+        out["mbp_rotation_4x5m_jax_wall_s"] = round(
+            time.perf_counter() - t0, 1
+        )
+
     def _rowscan():
         out["dp_rowscan_gcells_per_s"] = round(bench_rowscan_dp(), 2)
 
     stage(_rot, "device_rotation")
     stage(_pipe, "full_pipeline_jax")
     stage(_mbp, "mbp_device")
+    stage(_mbp5, "mbp_4x5m_device")
     stage(_rowscan, "dp_rowscan")
     stage(lambda: out.update(bench_verification()), "rotation_verification")
     stage(lambda: out.update(bench_kernel()), "dp_kernel")

@@ -116,10 +116,35 @@ def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
             / model["per_device_sort_bytes"][d],
             6,
         )
+    # sharded ALIGNMENT path parity on the full mesh (VERDICT r2 item 4:
+    # gap-axis shard_map; compared against the single-device batch)
+    from jax.sharding import Mesh
+
+    from ..align import progressive
+    from ..dp import wavefront
+
+    rng = np.random.default_rng(5)
+    items = []
+    for _ in range(11):
+        R = int(rng.integers(20, 200))
+        C = int(rng.integers(20, 200))
+        i = int(rng.integers(1, 5))
+        cds = rng.integers(0, 4, size=R).astype(np.int8)
+        sv = rng.integers(0, 3, size=(C, 5)).astype(np.int64)
+        top = progressive.default_top_row(sv, i)
+        items.append((cds, sv, i, top, -i))
+    gap_mesh = Mesh(np.asarray(jax.devices()), ("gap",))
+    single = wavefront.dp_paths_device_batched(items)
+    shd = wavefront.dp_paths_device_sharded(items, mesh=gap_mesh)
+    align_parity = all(
+        np.array_equal(a, b) for a, b in zip(single, shd)
+    )
+
     return {
         "workload": f"{k}x{n//1000}kbp synthetic (0.5% mutations)",
         "virtual_mesh_walls_s": walls,
         "cascade_parity_across_meshes": True,
+        "sharded_alignment_parity_8dev": bool(align_parity),
         "note": (
             "virtual CPU devices timeshare the same cores; walls validate "
             "sharded compile+run at every mesh size, not hardware speedup"

@@ -144,3 +144,31 @@ def test_mammals_full_alignment_content_identical(tmp_path, name):
     ]
     mine = [l for l in out.read_text().splitlines() if not l.startswith(">")]
     assert mine == ref
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("CSA_TPU_SLOW_TESTS"),
+    reason="set CSA_TPU_SLOW_TESTS=1 for the large acceptance sets",
+)
+def test_set3_jax_backend_end_to_end_identical(tmp_path):
+    """Rotation AND alignment through the jax backend (on the test CPU
+    mesh) stay byte-identical on the hardest published set."""
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    seqs = fio.load_fasta(str(fx / "Set3.txt"), log=io.StringIO())
+    res = rot.analyze(seqs, log=io.StringIO(), backend="jax")
+    rot_codes = _rotated_codes(seqs, res.rotations)
+    result = runner.run_alignment(
+        rot_codes, log=io.StringIO(), dp_backend="jax"
+    )
+    out = tmp_path / "aligned.fasta"
+    runner.save_alignment(
+        str(out), result, rot_codes, seqs.names, res.rotations,
+        log=io.StringIO(),
+    )
+    ref = [
+        l
+        for l in (fx / "Set3-Rotated-Aligned.fasta").read_text().splitlines()
+        if not l.startswith(">")
+    ]
+    mine = [l for l in out.read_text().splitlines() if not l.startswith(">")]
+    assert mine == ref
