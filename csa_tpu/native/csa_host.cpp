@@ -1023,10 +1023,34 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
   }
 
   // ---- suffix-containment filter (removeSuffixNodes semantics) ----
-  // Block i (depth ds) is dropped iff some strictly deeper block j has
-  // block i's string as its length-ds suffix: the suffix's start rotation
-  // q = advance(rep_j, d_j - ds) sorts inside block i's interval (blocks
-  // of equal depth have disjoint intervals -> binary search by start).
+  // Occurrence-END join (the round-3 device engine's formulation): block
+  // i (depth d_i) is a suffix of a strictly deeper block j iff
+  // q = advance(rep_j, d_j - d_i) lies inside i's interval, and advancing
+  // both sides by d_i turns that into end_rot(j) == advance(member, d_i)
+  // for some member of i's interval — O(total occurrences) with one
+  // max-depth table over rotation ids, replacing the
+  // (blocks x distinct-depths) binary-search join (8.1 s -> ~0.3 s at
+  // the 8x1 Mbp 746k-block set).  The id-level bijection needs every
+  // interval member to be a live rotation id, so inputs where the dedup
+  // pass removed duplicate rotations (M < N, degenerate periodic
+  // sequences) keep the positional join below.
+  for (int32_t b = 0; b < nb; ++b) keep_suffix[b] = 1;
+  if (M == N) {
+    std::vector<int32_t> maxd(N, -1);
+    for (int32_t b = 0; b < nb; ++b) {
+      const int32_t e = advance(sa[bstart[b]], bdepth[b]);
+      if (bdepth[b] > maxd[e]) maxd[e] = bdepth[b];
+    }
+    for (int32_t b = 0; b < nb; ++b) {
+      const int32_t d = bdepth[b];
+      for (int32_t r = bstart[b]; r <= bend[b]; ++r) {
+        if (maxd[advance(sa[r], d)] > d) {
+          keep_suffix[b] = 0;
+          break;
+        }
+      }
+    }
+  } else {
   std::vector<int32_t> by_depth(nb);
   for (int32_t b = 0; b < nb; ++b) by_depth[b] = b;
   std::vector<int32_t> zero(nb, 0);
@@ -1035,7 +1059,6 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
   for (int32_t t = 0; t < nb; ++t)
     if (t == 0 || bdepth[by_depth[t]] != bdepth[by_depth[t - 1]])
       distinct.push_back(bdepth[by_depth[t]]);
-  for (int32_t b = 0; b < nb; ++b) keep_suffix[b] = 1;
   // per distinct depth: sorted (start, block) table
   for (int32_t ds : distinct) {
     std::vector<std::pair<int32_t, int32_t>> owners;
@@ -1060,15 +1083,30 @@ int32_t csa_rotation_analyze(const int8_t* codes, const int64_t* offsets,
       }
     }
   }
+  }
   int32_t after_suffix = 0;
   for (int32_t b = 0; b < nb; ++b) after_suffix += keep_suffix[b];
   counts[2] = after_suffix;
 
   mark("suffix");
   // ---- uniqueness + first-occurrence positions ----
+  // Collected intervals are all-sequences and pairwise disjoint, so
+  // "exactly once per sequence" is simply width == k; positions then
+  // read straight off the k members (no per-block counter clearing).
   int32_t after_unique = 0;
   std::vector<int32_t> cnt(k);
   for (int32_t b = 0; b < nb; ++b) {
+    const int32_t width = bend[b] - bstart[b] + 1;
+    if (width == k) {
+      for (int32_t i = bstart[b]; i <= bend[b]; ++i) {
+        const int32_t g = sa[i];
+        positions[static_cast<int64_t>(b) * k + seq_of[g]] = pos_of[g];
+      }
+      uniq[b] = 1;
+      if (keep_suffix[b]) ++after_unique;
+      continue;
+    }
+    // non-unique (or degenerate) blocks: exact counting for positions
     for (int32_t s = 0; s < k; ++s) cnt[s] = 0;
     for (int32_t i = bstart[b]; i <= bend[b]; ++i) {
       const int32_t g = sa[i];
