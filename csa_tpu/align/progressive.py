@@ -549,22 +549,37 @@ def delete_gapped_columns(
     return consize
 
 
-# a device merge only pays off when the matrix amortizes the dispatch;
-# below this cell count the native host kernel wins (measured on the
-# tunneled v5e: dispatch+path transfer ~1-2 ms vs ~0.5 Gcell/s host fill)
-# Per-merge device gate: below this many cells the native host fill wins
-# outright against a tunneled-chip dispatch (measured: a 21M-cell fill is
-# 17 ms native vs ~90 ms device incl. transfer; the crossover sits around
-# 1-2e8 cells on this link).  Raise/lower via CSA_TPU_DEVICE_MIN_CELLS.
-DEVICE_MIN_CELLS = int(__import__("os").environ.get(
-    "CSA_TPU_DEVICE_MIN_CELLS", 150_000_000
-))
-# Whole-round gate for the batched launch: a 49-gap round of small merges
-# costs one ~0.4 s dispatch round trip but only ~3M cells of work — the
-# host clears it in milliseconds.  Rounds below this total go host-side.
-BATCH_DEVICE_MIN_CELLS = int(__import__("os").environ.get(
-    "CSA_TPU_BATCH_MIN_CELLS", 100_000_000
-))
+# Device-routing gates: a device merge only pays off when the matrix
+# amortizes the dispatch round trip over the tunneled chip.  Defaults
+# live in config.RunConfig (device_min_cells / batch_min_cells, set by
+# the round-4 Pallas-kernel crossover measurements in
+# docs/PERFORMANCE.md); CSA_TPU_DEVICE_MIN_CELLS / CSA_TPU_BATCH_MIN_CELLS
+# remain as emergency env overrides.
+
+
+def device_min_cells() -> int:
+    """Per-merge gate: below this many cells the native host fill wins."""
+    import os
+
+    env = os.environ.get("CSA_TPU_DEVICE_MIN_CELLS")
+    if env:
+        return int(env)
+    from ..config import run_config
+
+    return run_config().device_min_cells
+
+
+def batch_device_min_cells() -> int:
+    """Whole-round gate for the batched launch: rounds below this total
+    cell count are cheaper on the host than one dispatch round trip."""
+    import os
+
+    env = os.environ.get("CSA_TPU_BATCH_MIN_CELLS")
+    if env:
+        return int(env)
+    from ..config import run_config
+
+    return run_config().batch_min_cells
 BATCH_DIRS_CAP = 1 << 30  # max padded batched direction-tensor bytes
 
 
@@ -682,7 +697,7 @@ def _fill_to_maps(prep, dp_backend: str):
     from ..utils.profiling import PROFILER
 
     PROFILER.add("dp_cells", nrows * ncols)
-    if dp_backend == "jax" and nrows * ncols >= DEVICE_MIN_CELLS:
+    if dp_backend == "jax" and nrows * ncols >= device_min_cells():
         from ..dp import wavefront
 
         PROFILER.add("dp_device_dispatches", 1)
@@ -715,7 +730,7 @@ def progressive_dp(
     ordering, NW vs profile, backtrack merge, DeleteGappedColumns after
     each merge from the 3rd sequence on.
 
-    dp_backend "jax" routes merges with >= DEVICE_MIN_CELLS cells to the
+    dp_backend "jax" routes merges with >= device_min_cells() cells to the
     accelerator (fill + backtrack both on device, only the O(R+C) path
     transferred); smaller merges stay on the native host kernel.  All
     paths produce identical direction decisions, so the output is
@@ -784,7 +799,7 @@ def progressive_dp_batched(
                 states[idx].apply(old_cols, rows)
             dev = batch
         round_cells = sum(len(p[0]) * len(p[1]) for _, p in dev)
-        if dev and mesh is None and round_cells < BATCH_DEVICE_MIN_CELLS:
+        if dev and mesh is None and round_cells < batch_device_min_cells():
             # the whole round is cheaper on the host than one dispatch
             # round trip over the tunnel; run it there (bit-identical)
             for idx, p in dev:
@@ -809,7 +824,7 @@ def progressive_dp_batched(
                 states[idx].apply(old_cols, rows)
         else:
             # sub-batch leftovers keep the per-merge device routing
-            # (device for >= DEVICE_MIN_CELLS, native below)
+            # (device for >= device_min_cells(), native below)
             for idx, p in dev:
                 old_cols, rows = _fill_to_maps(p, "jax")
                 states[idx].apply(old_cols, rows)

@@ -75,10 +75,9 @@ def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
     try:
         res = rot.analyze(
             seqs,
-            maxinterval=args.max_interval,
             log=sys.stdout,
             backend=args.backend,
-            mesh_shape=args.mesh,
+            cfg=args.cfg,
         )
     except rot.RotationError as e:
         raise SystemExit(f"\n> ERROR: {e}")
@@ -98,8 +97,8 @@ def run_rotation(args, seqs: fio.SequenceSet) -> rot.RotationResult:
 
         blocks_report.write_blocks_artifacts(
             args.input, seqs, res,
-            min_block_size=args.min_block_size,
-            max_block_size=args.max_block_size,
+            min_block_size=args.cfg.min_block_size,
+            max_block_size=args.cfg.max_block_size,
         )
     if args.profile:
         print(f"> [profile] rotation phase: {time.time() - t0:.3f}s "
@@ -201,6 +200,14 @@ def main(argv=None) -> int:
                         metavar="SEQxPOS",
                         help="device mesh shape for --backend sharded, "
                              "e.g. 4x2 (default: auto-factor all devices)")
+    parser.add_argument("--pack-w", type=int, default=None,
+                        metavar="W", choices=range(2, 14),
+                        help="k-mer packing width of the index engines "
+                             "(2..13, default 12)")
+    parser.add_argument("--device-min-cells", type=int, default=None,
+                        metavar="N",
+                        help="per-merge DP cell count above which the "
+                             "device kernel is used (--backend jax)")
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--verify-rotations", action="store_true",
                         help="score chosen vs alternative rotations with "
@@ -215,8 +222,20 @@ def main(argv=None) -> int:
         match=args.match, mismatch=args.mismatch,
         indel=args.indel, doublegap=args.doublegap,
     )
-    if sc != config.DEFAULT_SCORING:
-        config.set_scoring(sc)
+    defaults = config.RunConfig()
+    cfg = config.RunConfig(
+        scoring=sc,
+        min_block_size=args.min_block_size,
+        max_block_size=args.max_block_size,
+        max_interval=args.max_interval,
+        mesh_shape=args.mesh,
+        pack_w=(args.pack_w if args.pack_w is not None else defaults.pack_w),
+        device_min_cells=(args.device_min_cells
+                          if args.device_min_cells is not None
+                          else defaults.device_min_cells),
+    )
+    config.set_run_config(cfg)
+    args.cfg = cfg
 
     if args.backend in ("auto", "jax", "sharded"):
         _enable_persistent_compile_cache()

@@ -45,7 +45,14 @@ class Scoring:
 
 @dataclass(frozen=True)
 class RunConfig:
-    """Pipeline-level knobs (CLI flags map 1:1 onto these fields)."""
+    """Pipeline-level knobs (CLI flags map 1:1 onto these fields).
+
+    Constructed by ``cli.main`` from the parsed flags and installed via
+    :func:`set_run_config`; consumed by ``rotation.pipeline.analyze``
+    (max_interval, mesh_shape), ``report.blocks_report`` (block-size
+    display bounds), ``index.engine`` (pack_w, read at first import) and
+    ``align.progressive`` (the host/device DP routing gates).
+    """
 
     scoring: Scoring = Scoring()
     min_block_size: int = 10          # csamsa.c:573
@@ -53,14 +60,40 @@ class RunConfig:
     max_interval: int = INT_MAX       # csamsa.c:575
     mesh_shape: tuple | None = None   # (seq, pos) axes for --backend sharded
     pack_w: int = 12                  # k-mer packing width of the index
-    #                                   engines (5**pack_w must fit int32;
-    #                                   set via CSA_TPU_PACK_W at process
-    #                                   start — it shapes every compiled
-    #                                   device program)
+    #                                   engines (5**pack_w must fit int32);
+    #                                   frozen into the compiled device
+    #                                   programs at first engine import
+    # DP device-routing gates, set at the measured tunneled-chip
+    # crossovers (docs/PERFORMANCE.md r4: ~30 ms dispatch floor + ~12
+    # Gcell/s kernel vs ~1 Gcell/s single-thread host): the device wins
+    # single merges above ~100 Mcells and batched rounds above ~70
+    # Mcells.  On a locally attached chip (no tunnel) the floor is
+    # ~100x lower; tune via --device-min-cells / env overrides.
+    device_min_cells: int = 100_000_000  # per-merge device DP gate
+    batch_min_cells: int = 70_000_000    # whole-round batched-launch gate
 
 
 DEFAULT_SCORING = Scoring()
 _scoring = DEFAULT_SCORING
+_run_config = RunConfig()
+
+
+def run_config() -> RunConfig:
+    return _run_config
+
+
+def set_run_config(cfg: RunConfig) -> None:
+    """Install the pipeline config (and its scoring matrix).
+
+    ``pack_w`` only takes effect if :mod:`csa_tpu.index.engine` has not
+    been imported yet (the width is frozen into every compiled program's
+    shape space); the CLI installs the config before touching the
+    engines.
+    """
+    global _run_config
+    _run_config = cfg
+    if cfg.scoring != scoring():
+        set_scoring(cfg.scoring)
 
 
 def scoring() -> Scoring:

@@ -1,0 +1,376 @@
+"""Pallas TPU wavefront kernel for the progressive PROFILE DP.
+
+The production gap-closing recurrence
+(``/root/reference/source/dynamicprogramming.c:993-1026``: NW of one
+sequence against the expanding column-count profile, tie-break
+diag >= left >= up) executed as an anti-diagonal wavefront on the VPU —
+the round-3 row-scan (``dp/wavefront.py``) left the vector units idle
+between tiny dependent ops (0.59 Gcell/s); this kernel applies the
+pairwise kernel's design (``dp/pallas_nw.py``: VMEM state vectors, roll
+shifts, unrolled diagonals) to the profile recurrence.
+
+Layout — the key idea is **column-static lanes**: lane position maps to a
+fixed DP COLUMN (not a row).  Every stripe of every gap sits on the same
+global anti-diagonal ``t``; the cell held by lane ``(gs, l)`` at step
+``t`` is ``dp[t - c][c]`` with ``c = (gs % S) * Cs + l``.  Consequences:
+
+* all per-COLUMN quantities — the four substitution channels
+  ``F_b[c] = (match-mismatch)*sv[c][b] + (indel-mismatch)*sv[c][gap]
+  + mismatch*i``, the horizontal gap cost ``cg[c]``, and the (possibly
+  stale) ``top_row`` boundary — are STATIC per lane: loaded once, never
+  shifted;
+* the only rolling buffer is the reversed row-codes array (the per-ROW
+  dependence), one ``pltpu.roll`` per UNROLL diagonals;
+* the three DP arms are one flattened-lane roll per diagonal:
+  ``left`` = roll(prev), ``up`` = prev unshifted, ``diag`` = the roll
+  computed on the previous step (carried, free);
+* one problem's columns can be folded across sublanes (``S`` stripes per
+  gap) so a SINGLE giant gap — Set3's ~17k x 28k merges — still uses
+  every sublane, and a BATCH of gaps (``alignment.c:179-208``
+  independence) packs one gap per sublane group with ``S = 1``.
+
+Boundary cells are injected, not derived: the reference's dp boundaries
+are arbitrary inputs (STALE between same-shape merges —
+``dynamicprogramming.c:957-987``), so each diagonal overwrites lane
+``flat == t`` with ``top_row[t]`` (row 0) and lane ``flat == 0`` with
+``t * edge_rowgap`` (column 0).  Cells right of column C / below row R
+are garbage but sit outside the dependency cone of every real cell (DP
+reads only smaller j, c), so they are never masked.
+
+Directions are packed 2 bits/cell (codes 0..2), four diagonals per byte,
+and streamed to HBM through the pallas output pipeline; an XLA
+``while_loop`` backtrack then walks the packed matrix ON DEVICE, so only
+the O(R+C) walk-order path codes cross the host link — same contract as
+``wavefront._rowscan_path``, whose consumers (``_path_to_maps`` /
+``merge_from_path``) are reused unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..align.progressive import D_DIAG, D_LEFT, D_UP, GAP
+from ..config import Scoring, scoring as _current_scoring
+
+NEG = -(2**26)       # fictitious-cell floor; max climb ~128/diagonal
+K = 16               # diagonals per grid step (multiple of 4 for packing)
+BT_UNROLL = 48       # backtrack steps per while_loop iteration
+PAD_QUANTUM = 512    # R/C bucketing quantum (bounds recompiles)
+
+
+def _profile_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
+                    topv_ref, aux_ref, out_ref, wroll_ref, dp1_ref, rp_ref,
+                    *, S: int, Cs: int, TP: int):
+    """One grid step = K anti-diagonals for every lane.
+
+    rv: (B, TP) int32 reversed codes, per-stripe pre-shifted (Mosaic
+    only rotates 32-bit data, so the rolled buffer is int32);
+    f0..f3/cg/topv: (B, Cs) int32 static column
+    channels; aux: (B, 128) int32 with [:,0]=rowgap, [:,1]=edge_rowgap;
+    out block: (K//4, B, Cs) int8 packed directions.
+    wroll/dp1/rp: persistent scratch (rolled codes, val(t-1),
+    roll(val(t-2))).
+    """
+    blk = pl.program_id(0)
+    B = dp1_ref.shape[0]
+    Z = TP - Cs
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Cs), 1)
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (B, Cs), 0)
+    flat = (sub_i % S) * Cs + lane          # dp column index per lane
+    lane0 = lane == 0
+    flat0 = flat == 0
+
+    @pl.when(blk == 0)
+    def _init():
+        wroll_ref[:] = rv_ref[:]
+        dp1_ref[:] = jnp.full((B, Cs), NEG, jnp.int32)
+        rp_ref[:] = jnp.full((B, Cs), NEG, jnp.int32)
+
+    f0 = f0_ref[:]
+    f1 = f1_ref[:]
+    f2 = f2_ref[:]
+    f3 = f3_ref[:]
+    cg = cg_ref[:]
+    topv = topv_ref[:]
+    rowgap = aux_ref[:, 0:1]
+    ergc = aux_ref[:, 1:2]
+
+    dp1 = dp1_ref[:]
+    rp = rp_ref[:]
+    acc = jnp.zeros((B, Cs), jnp.int32)
+    for phase in range(K):
+        t = blk * K + phase
+        # window: lane (gs, l) reads codes_g[t - flat - 1] (the char of
+        # dp row j = t - flat); wroll = roll(rv, blk*K) makes the start
+        # static per unrolled phase
+        w = wroll_ref[:, Z - phase : Z - phase + Cs]
+        f01 = jnp.where(w == 0, f0, f1)
+        f23 = jnp.where(w == 2, f2, f3)
+        sub = jnp.where(w <= 1, f01, f23)
+        # flattened-lane shift: left neighbor in dp-column order; the
+        # (s, 0) element comes from (s-1, Cs-1).  Gap-block leakage at
+        # sublane boundaries only reaches flat==0 lanes, which are
+        # boundary-injected below.
+        a = pltpu.roll(dp1, shift=1, axis=1)
+        if S > 1:
+            b = pltpu.roll(a, shift=1, axis=0)
+            lshift = jnp.where(lane0, b, a)
+        else:
+            lshift = a
+        diag = rp + sub
+        up = dp1 + rowgap
+        left = lshift + cg
+        dwin = diag >= up
+        m1 = jnp.where(dwin, diag, up)
+        tl = (left > m1) | ((left == m1) & ~dwin)
+        val = jnp.where(tl, left, m1)
+        dcode = jnp.where(tl, D_LEFT, jnp.where(dwin, D_DIAG, D_UP))
+        # boundary injections (row 0 last: dp[0][0] = top[0])
+        val = jnp.where(flat0, t * ergc, val)
+        val = jnp.where(flat == t, topv, val)
+        # pack 2-bit codes, 4 diagonals per byte
+        if phase % 4 == 0:
+            acc = dcode
+        else:
+            acc = acc + dcode * (4 ** (phase % 4))
+        if phase % 4 == 3:
+            out_ref[phase // 4, :, :] = acc.astype(jnp.int8)
+        rp = lshift
+        dp1 = val
+    dp1_ref[:] = dp1
+    rp_ref[:] = rp
+    wroll_ref[:] = pltpu.roll(wroll_ref[:], shift=K, axis=1)
+
+
+def _backtrack(dirs_packed, g, rr, cc, *, S: int, Cs: int, L: int):
+    """Walk the packed direction matrix from (R, C) to (0, 0) on device.
+
+    Identical walk semantics to ``wavefront._rowscan_path`` (the
+    reference backtrack order, dynamicprogramming.c:1032-1138): main
+    region by direction code, then the remaining j>0 / c>0 edge runs.
+    Returns (path codes in walk order, step count).
+    """
+    base = g * S
+
+    def cond(state):
+        j, c, t, path = state
+        return (j > 0) | (c > 0)
+
+    def body(state):
+        j, c, t, path = state
+        for _ in range(BT_UNROLL):
+            active = (j > 0) | (c > 0)
+            inmain = (j > 0) & (c > 0)
+            td = j + c
+            # packed bytes can exceed int8's positive range (4 codes of
+            # up to 2 -> 170); mask to the unsigned value before decode
+            byte = (
+                dirs_packed[
+                    td // 4, base + jnp.clip(c // Cs, 0, S - 1), c % Cs
+                ].astype(jnp.int32)
+                & 0xFF
+            )
+            dmain = jax.lax.shift_right_logical(byte, 2 * (td % 4)) & 3
+            dcode = jnp.where(
+                inmain,
+                dmain.astype(jnp.int8),
+                jnp.where(j > 0, jnp.int8(D_UP), jnp.int8(D_LEFT)),
+            )
+            path = path.at[jnp.clip(t, 0, L - 1)].set(dcode)
+            j = jnp.where(active & (dcode != D_LEFT), j - 1, j)
+            c = jnp.where(active & (dcode != D_UP), c - 1, c)
+            t = jnp.where(active, t + 1, t)
+        return (j, c, t, path)
+
+    path0 = jnp.zeros(L, jnp.int8)
+    _, _, nsteps, path = jax.lax.while_loop(
+        cond, body, (rr, cc, jnp.int32(0), path0)
+    )
+    return path, nsteps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "S", "Cs", "Dtot", "TP", "Rmax", "Cmax", "sc",
+                     "interpret"),
+)
+def _profile_paths_program(codes, sv, iv, top, erg, rr, cc, *, G: int,
+                           S: int, Cs: int, Dtot: int, TP: int, Rmax: int,
+                           Cmax: int, sc: Scoring, interpret: bool):
+    """Device-side prep + pallas fill + vmapped backtrack, one program.
+
+    codes (G, Rmax) int8; sv (G, Cmax, 5) int8; iv/erg/rr/cc (G,) int32;
+    top (G, Cmax+1) int32 — the exact ``wavefront._batched_path_program``
+    signature, so ``_pad_batch`` and the merge machinery are shared.
+    Only these small raw arrays cross the host link; the channel/buffer
+    construction below runs on device.
+    """
+    B = G * S
+    Cpad = S * Cs
+    Z = TP - Cs
+    iv32 = iv.astype(jnp.int32)
+    sv32 = sv.astype(jnp.int32)
+    A = sc.match - sc.mismatch
+    Bc = sc.indel - sc.mismatch
+
+    def chan(x):  # (G, Cmax) column data -> (B, Cs); dp col f uses sv[f-1]
+        z = jnp.zeros((G, 1), jnp.int32)
+        pad = jnp.zeros((G, Cpad - Cmax - 1), jnp.int32)
+        return jnp.concatenate([z, x, pad], axis=1).reshape(B, Cs)
+
+    svg = sv32[..., GAP]
+    fs = [
+        chan(A * sv32[..., b] + Bc * svg + sc.mismatch * iv32[:, None])
+        for b in range(4)
+    ]
+    cgch = chan(sc.doublegap * svg + sc.indel * (iv32[:, None] - svg))
+    topv = jnp.concatenate(
+        [top, jnp.zeros((G, Cpad - Cmax - 1), jnp.int32)], axis=1
+    ).reshape(B, Cs)
+    aux = jnp.zeros((G, S, 128), jnp.int32)
+    aux = aux.at[:, :, 0].set((sc.indel * iv32)[:, None])
+    aux = aux.at[:, :, 1].set(erg.astype(jnp.int32)[:, None])
+    aux = aux.reshape(B, 128)
+
+    # reversed, per-stripe shifted codes: rv[g*S+s, u] = codes_g[src],
+    # src = Z - u - 1 - s*Cs (pad 4 outside [0, Rmax))
+    u = jnp.arange(TP, dtype=jnp.int32)[None, :]
+    s_idx = jnp.arange(S, dtype=jnp.int32)[:, None]
+    src = Z - u - 1 - s_idx * Cs                                 # (S, TP)
+    valid = (src >= 0) & (src < Rmax)
+    gathered = jnp.take(codes, jnp.clip(src, 0, Rmax - 1), axis=1)
+    rv = (
+        jnp.where(valid[None], gathered, jnp.int8(4))
+        .reshape(B, TP)
+        .astype(jnp.int32)
+    )
+
+    nblk = Dtot // K
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec(
+            (K // 4, B, Cs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, TP), jnp.int32),
+            pltpu.VMEM((B, Cs), jnp.int32),
+            pltpu.VMEM((B, Cs), jnp.int32),
+        ],
+    )
+    dirs_packed = pl.pallas_call(
+        functools.partial(_profile_kernel, S=S, Cs=Cs, TP=TP),
+        out_shape=jax.ShapeDtypeStruct((nblk * (K // 4), B, Cs), jnp.int8),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(rv, *fs, cgch, topv, aux)
+
+    L = Rmax + Cmax
+    paths, nsteps = jax.vmap(
+        lambda g_, r_, c_: _backtrack(
+            dirs_packed, g_, r_, c_, S=S, Cs=Cs, L=L
+        )
+    )(jnp.arange(G, dtype=jnp.int32), rr, cc)
+    return paths, nsteps
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _shape_params(G: int, Rmax: int, Cmax: int, stripes: int | None = None):
+    """Static launch geometry for a (G, Rmax, Cmax) bucket.
+
+    S (stripes per gap) targets >= 8 busy sublanes; Cs is the per-stripe
+    lane count (128-aligned, covers Cmax + 1 dp columns); Dtot covers
+    every diagonal t = 0..Rmax+Cmax; TP sizes the rolling codes buffer.
+    """
+    if stripes is None:
+        S = 1
+        while G * S < 8 and S < 8:
+            S *= 2
+    else:
+        S = stripes
+    Cs = max(128, _round_up(-(-(Cmax + 1) // S), 128))
+    Dtot = _round_up(Rmax + Cmax + 1, K)
+    TP = _round_up(Dtot + Cs, 128)
+    return S, Cs, Dtot, TP
+
+
+def profile_paths_pallas(items, *, interpret: bool = False):
+    """Batched pallas fill + device backtrack for independent gap merges.
+
+    ``items``: list of (row_codes, scorevector, i, top_row, edge_rowgap)
+    tuples (``GapProgressiveState.prepare`` outputs).  Returns per-item
+    walk-order path codes — drop-in for
+    ``wavefront.dp_paths_device_batched``.
+    """
+    from .wavefront import _pad_batch
+
+    Gn = len(items)
+    codes, sv, top, iv, erg, rr, cc, Rp, Cp, Gp = _pad_batch(items)
+    S, Cs, Dtot, TP = _shape_params(Gp, Rp, Cp)
+    paths, nsteps = _profile_paths_program(
+        jnp.asarray(codes), jnp.asarray(sv), jnp.asarray(iv),
+        jnp.asarray(top), jnp.asarray(erg), jnp.asarray(rr),
+        jnp.asarray(cc), G=Gp, S=S, Cs=Cs, Dtot=Dtot, TP=TP, Rmax=Rp,
+        Cmax=Cp, sc=_current_scoring(), interpret=interpret,
+    )
+    paths = np.asarray(paths)
+    nsteps = np.asarray(nsteps)
+    return [paths[g, : int(nsteps[g])] for g in range(Gn)]
+
+
+def profile_path_pallas(
+    row_codes: np.ndarray,
+    scorevector: np.ndarray,
+    i: int,
+    top_row=None,
+    edge_rowgap=None,
+    *,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Single-gap fill + device backtrack (8 column stripes/sublanes).
+
+    Drop-in for ``wavefront.dp_path_device``; returns walk-order codes.
+    """
+    from ..align.progressive import default_top_row
+
+    if top_row is None:
+        top_row = default_top_row(scorevector, i)
+    sc = _current_scoring()
+    if edge_rowgap is None:
+        edge_rowgap = sc.indel * i
+    R = len(row_codes)
+    C = len(scorevector)
+    q = PAD_QUANTUM
+    Rp = max(q, _round_up(R, q))
+    Cp = max(q, _round_up(C, q))
+    codes = np.zeros((1, Rp), dtype=np.int8)
+    codes[0, :R] = row_codes
+    svp = np.zeros((1, Cp, 5), dtype=np.int8)
+    svp[0, :C] = scorevector
+    topp = np.zeros((1, Cp + 1), dtype=np.int32)
+    topp[0, : C + 1] = top_row[: C + 1]
+    S, Cs, Dtot, TP = _shape_params(1, Rp, Cp, stripes=8)
+    paths, nsteps = _profile_paths_program(
+        jnp.asarray(codes), jnp.asarray(svp), jnp.full(1, i, jnp.int32),
+        jnp.asarray(topp), jnp.full(1, edge_rowgap, jnp.int32),
+        jnp.full(1, R, jnp.int32), jnp.full(1, C, jnp.int32),
+        G=1, S=S, Cs=Cs, Dtot=Dtot, TP=TP, Rmax=Rp, Cmax=Cp, sc=sc,
+        interpret=interpret,
+    )
+    n = int(np.asarray(nsteps)[0])
+    return np.asarray(paths)[0, :n]

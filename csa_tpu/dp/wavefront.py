@@ -47,6 +47,23 @@ BT_UNROLL = 16       # backtrack steps per while_loop iteration
 PAD_QUANTUM = 512    # R/C rounded up to multiples of this (bounds recompiles)
 
 
+def _dp_impl() -> str:
+    """Production device DP implementation selector.
+
+    'pallas' (the round-4 anti-diagonal wavefront kernel,
+    :mod:`csa_tpu.dp.pallas_profile`) on a real accelerator; 'rowscan'
+    (the XLA scan fallback below) on CPU, where the virtual-mesh tests
+    run and Mosaic kernels would need the slow interpreter.  Override
+    with ``CSA_TPU_DP_IMPL=rowscan|pallas``.
+    """
+    import os
+
+    impl = os.environ.get("CSA_TPU_DP_IMPL")
+    if impl:
+        return impl
+    return "rowscan" if jax.default_backend() == "cpu" else "pallas"
+
+
 def _row_step(prev, sub_row, j, S, cg, rowgap, edge_rowgap):
     """One DP row: prev (C+1,) -> (cur (C+1,), dirs_row (C+1,) int8).
 
@@ -227,7 +244,18 @@ def dp_path_device(
 
     The direction matrix never leaves the device; the host receives only
     the (<= R+C) int8 path, which `progressive.merge_from_path` consumes.
+    Dispatches to the Pallas wavefront kernel on real accelerators
+    (:func:`csa_tpu.dp.pallas_profile.profile_path_pallas`, ~25x the
+    row-scan's throughput); the row-scan below is the CPU/virtual-mesh
+    fallback.
     """
+    if _dp_impl() == "pallas":
+        from .pallas_profile import profile_path_pallas
+
+        return profile_path_pallas(
+            row_codes, scorevector, i, top_row=top_row,
+            edge_rowgap=edge_rowgap,
+        )
     from ..align.progressive import default_top_row
 
     if top_row is None:
@@ -307,6 +335,10 @@ def dp_paths_device_batched(items):
     (alignment.c:179-208 independence).  Returns the per-item walk-order
     path codes.
     """
+    if _dp_impl() == "pallas":
+        from .pallas_profile import profile_paths_pallas
+
+        return profile_paths_pallas(items)
     G = len(items)
     codes, sv, top, iv, erg, rr, cc, Rp, Cp, _ = _pad_batch(items)
     paths, nsteps = _batched_path_program(

@@ -42,12 +42,19 @@ def _bucket(n: int, quantum: int = 1024) -> int:
 # the base-5 encoding of the first PACK_W cyclic chars (5**PACK_W must
 # fit int32, so PACK_W <= 13), resolving PACK_W chars with ZERO sorts;
 # level t covers PACK_W << t chars.  Sub-PACK_W granularity (LCP tail,
-# short fingerprints) reads the code array directly.  Configurable per
-# process via CSA_TPU_PACK_W (config.RunConfig.pack_w documents it); a
-# process-start constant because it shapes every compiled program.
+# short fingerprints) reads the code array directly.  Configurable via
+# config.RunConfig.pack_w (the CLI's --pack-w flag installs the config
+# before this module is first imported) or the CSA_TPU_PACK_W env
+# override; frozen at import because it shapes every compiled program.
 import os as _os
 
-PACK_W = max(2, min(13, int(_os.environ.get("CSA_TPU_PACK_W", 12))))
+from ..config import run_config as _run_config
+
+PACK_W = max(
+    2,
+    min(13, int(_os.environ.get("CSA_TPU_PACK_W", 0)
+                or _run_config().pack_w)),
+)
 _ALPHA = 5  # alphabet (ACGT-)
 _SENT0 = _ALPHA ** PACK_W  # level-0 pad sentinel base (above all keys)
 

@@ -329,8 +329,13 @@ int32_t dp_fill_core(const int8_t* row_codes, int32_t R,
   S[0] = 0;
   for (int32_t c = 1; c <= C; ++c) S[c] = S[c - 1] + colgap[c];
 
+  // Two-thread pipelining needs HEADROOM: on a 2-core box the ring
+  // spin-waits ping-pong with the scheduler and the fill runs ~35x
+  // SLOWER than single-thread (measured 0.015 vs 0.99 Gcell/s at
+  // 4600x6000 — the round-3 "native pipeline regression" root cause),
+  // so require >= 4 hardware threads before splitting the row.
   if ((int64_t)R * C >= g_mt_threshold.load(std::memory_order_relaxed) &&
-      C >= 4096 && std::thread::hardware_concurrency() >= 2) {
+      C >= 4096 && std::thread::hardware_concurrency() >= 4) {
     static thread_local std::unique_ptr<FillWorker> tl_worker;
     if (!tl_worker) tl_worker = std::make_unique<FillWorker>();
     FillJob job;

@@ -79,16 +79,29 @@ class RotationResult:
 def analyze(
     seqs: SequenceSet,
     *,
-    maxinterval: int = INT_MAX,
+    maxinterval: Optional[int] = None,
     log: Optional[TextIO] = None,
     backend: str = "numpy",
     mesh_shape: Optional[tuple] = None,
+    cfg=None,
 ) -> RotationResult:
     """Compute optimal rotations for a set of circular sequences.
+
+    ``cfg`` (a :class:`csa_tpu.config.RunConfig`, built by the CLI)
+    supplies ``max_interval`` and ``mesh_shape``; the explicit keyword
+    arguments override it for programmatic callers.
 
     The console narrative mirrors the reference phase messages
     (csamsa.c:274-303) so existing tooling that scrapes them keeps working.
     """
+    if cfg is None:
+        from ..config import run_config
+
+        cfg = run_config()
+    if maxinterval is None:
+        maxinterval = cfg.max_interval
+    if mesh_shape is None:
+        mesh_shape = cfg.mesh_shape
     log = log if log is not None else sys.stdout
     sizes = seqs.sizes
     encoded = seqs.encoded_all()

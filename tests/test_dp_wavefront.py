@@ -83,12 +83,13 @@ def test_progressive_dp_backend_jax_identical():
         for _ in range(5)
     ]
     a = progressive.progressive_dp([g.copy() for g in gaps], dp_backend="numpy")
-    saved = progressive.DEVICE_MIN_CELLS
+    import os
+
+    os.environ["CSA_TPU_DEVICE_MIN_CELLS"] = "1"  # force merges on device
     try:
-        progressive.DEVICE_MIN_CELLS = 1  # force every merge onto the device
         b = progressive.progressive_dp([g.copy() for g in gaps], dp_backend="jax")
     finally:
-        progressive.DEVICE_MIN_CELLS = saved
+        del os.environ["CSA_TPU_DEVICE_MIN_CELLS"]
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
 
 

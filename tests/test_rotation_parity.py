@@ -79,3 +79,47 @@ def test_chain_cycle_surfaces_as_rotation_error(fixtures_dir, monkeypatch):
     seqs = load_fasta(str(fixtures_dir / "tiny" / "t1.txt"), log=io.StringIO())
     with pytest.raises(pipeline_mod.RotationError):
         analyze(seqs, log=io.StringIO())
+
+
+def test_chain_cycle_detected_linear_time():
+    """An adversarial tail-into-cycle link graph raises in O(nb) walk
+    steps (visited-mark check; the old guard spun len(blocks)^2
+    iterations before erroring).  A FULL cycle back to the walking head
+    is NOT an error: that is how cyclic genomes legitimately fold
+    (csamsa.c:202-211 self-absorption, exercised by the sharded
+    synthetic parity tests)."""
+    import numpy as np
+
+    from csa_tpu.rotation import chains as chains_mod
+
+    nb = 5000
+    blocks = [
+        chains_mod.Block(depth=2, positions=np.array([i, i]))
+        for i in range(nb)
+    ]
+    # head 0 -> 1 -> 2 -> ... -> nb-1 -> 1  (cycle not through the head)
+    for i, b in enumerate(blocks):
+        b.nextblock = blocks[i + 1] if i + 1 < nb else blocks[1]
+        b.next_interval = 1
+    with pytest.raises(chains_mod.ChainCycleError):
+        chains_mod.assemble_chains(blocks, [nb * 4, nb * 4])
+
+
+def test_chain_absorb_previous_head_still_works():
+    """A later head linking into an earlier-formed chain absorbs it
+    (csamsa.c:202-211) and is not misdiagnosed as a cycle."""
+    import numpy as np
+
+    from csa_tpu.rotation import chains as chains_mod
+
+    # list order: A (head of A->B), then C with C->A
+    a = chains_mod.Block(depth=5, positions=np.array([0, 0]))
+    b = chains_mod.Block(depth=4, positions=np.array([10, 10]))
+    c = chains_mod.Block(depth=3, positions=np.array([30, 30]))
+    a.nextblock = b
+    a.next_interval = 5
+    c.nextblock = a
+    c.next_interval = 2
+    n = chains_mod.assemble_chains([a, b, c], [64, 64])
+    assert n == 1
+    assert c.totalsize != -1 and a.totalsize == -1 and b.totalsize == -1
