@@ -795,7 +795,22 @@ def progressive_dp_batched(
                 rmax, cmax = r, c
             giants = dev[len(batch):]
             for idx, p in giants:
-                old_cols, rows = _fill_to_maps(p, "jax")
+                if mesh is not None:
+                    # mesh present: run the giant merge column-sharded
+                    # with halo exchange (SURVEY §5 long-context row);
+                    # only the O(R+C) path crosses the host link
+                    from ..dp import seqpar
+
+                    PROFILER.add("dp_cells", len(p[0]) * len(p[1]))
+                    PROFILER.add("dp_device_dispatches", 1)
+                    with PROFILER.phase("align.dp_fill"):
+                        path = seqpar.dp_path_seqpar(
+                            p[0], p[1], p[2], mesh=mesh,
+                            top_row=p[3], edge_rowgap=p[4],
+                        )
+                    old_cols, rows = _path_to_maps(path)
+                else:
+                    old_cols, rows = _fill_to_maps(p, "jax")
                 states[idx].apply(old_cols, rows)
             dev = batch
         round_cells = sum(len(p[0]) * len(p[1]) for _, p in dev)

@@ -208,6 +208,14 @@ def main(argv=None) -> int:
                         metavar="N",
                         help="per-merge DP cell count above which the "
                              "device kernel is used (--backend jax)")
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="multi-host launch: coordinator address "
+                             "(same on every host; see docs/MANUAL.md)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        metavar="N", help="multi-host launch: process count")
+    parser.add_argument("--process-id", type=int, default=None,
+                        metavar="I", help="multi-host launch: this host's "
+                        "0-based process index")
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--verify-rotations", action="store_true",
                         help="score chosen vs alternative rotations with "
@@ -239,6 +247,21 @@ def main(argv=None) -> int:
 
     if args.backend in ("auto", "jax", "sharded"):
         _enable_persistent_compile_cache()
+
+    # multi-host: form the global runtime BEFORE any mesh/device use so
+    # jax.devices() spans every process (parallel/distributed.py)
+    if args.coordinator or os.environ.get("CSA_TPU_COORDINATOR"):
+        from .parallel import distributed
+
+        multi = distributed.initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
+        if multi:
+            import jax
+
+            print(f"> Multi-host runtime: process "
+                  f"{jax.process_index()}/{jax.process_count()}, "
+                  f"{jax.device_count()} global devices")
 
     print(banner("[ csa-tpu: Multiple Circular Sequence Aligner ]"))
 

@@ -66,6 +66,10 @@ def make_mesh(
     shape: Optional[Tuple[int, int]] = None,
     axis_names: Tuple[str, str] = ("seq", "pos"),
 ) -> Mesh:
+    """Mesh over the GLOBAL device list: after
+    ``parallel.distributed.initialize`` on an N-host launch,
+    ``jax.devices()`` spans every process and the mesh axes cross the
+    host boundary (ICI within a slice, DCN across hosts)."""
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
@@ -73,6 +77,20 @@ def make_mesh(
         shape = _factor_mesh(n_devices)
     mesh_devices = np.asarray(devices[:n_devices]).reshape(shape)
     return Mesh(mesh_devices, axis_names)
+
+
+def put_global(arr: np.ndarray, sharding: NamedSharding):
+    """Create a (possibly cross-process) sharded array from host data.
+
+    Single-process: plain ``device_put``.  Multi-process: every process
+    holds the full host copy, and each builds only its addressable
+    shards (``make_array_from_callback``) — the standard multi-host
+    array-creation path, no cross-host data movement."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: np.asarray(arr[idx])
+    )
 
 
 @functools.partial(
@@ -177,8 +195,8 @@ def rotation_blocks_sharded(
 
     code_shard = NamedSharding(mesh, P("seq", "pos"))
     len_shard = NamedSharding(mesh, P("seq"))
-    jc = jax.device_put(jnp.asarray(codes), code_shard)
-    js = jax.device_put(jnp.asarray(sizes), len_shard)
+    jc = put_global(codes, code_shard)
+    js = put_global(sizes, len_shard)
 
     merge = _merge_stage(mesh, k)
     slots = engine.MAX_DEPTH_SLOTS
@@ -257,6 +275,6 @@ def run_sharded_collect(
     step = sharded_rotation_step(mesh, k=k, n_max=n_max, levels=levels)
     code_shard = NamedSharding(mesh, P("seq", "pos"))
     len_shard = NamedSharding(mesh, P("seq"))
-    jcodes = jax.device_put(jnp.asarray(codes), code_shard)
-    jsizes = jax.device_put(jnp.asarray(sizes), len_shard)
+    jcodes = put_global(codes, code_shard)
+    jsizes = put_global(sizes, len_shard)
     return step(jcodes, jsizes)

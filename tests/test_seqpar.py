@@ -74,3 +74,60 @@ def test_seqpar_giant_shape_smoke():
     dirs_sp = seqpar.dp_fill_seqpar(codes, sv, i, mesh=_mesh(8),
                                     band_rows=64)
     np.testing.assert_array_equal(dirs_sp, dirs_ref)
+
+
+def test_seqpar_path_matches_numpy_backtrack():
+    """Fill + ON-DEVICE backtrack: the path-only variant (only O(R+C)
+    codes reach the host) reproduces the numpy walk exactly."""
+    for n_dev, seed in [(2, 1), (8, 2)]:
+        rng = np.random.default_rng(seed)
+        R = int(rng.integers(40, 250))
+        C = int(rng.integers(60, 400))
+        i = int(rng.integers(1, 9))
+        codes = rng.integers(0, 4, size=R).astype(np.int8)
+        sv = rng.integers(0, 3, size=(C, 5)).astype(np.int64)
+        dirs_ref = _numpy_dirs(codes, sv, i)
+        want = progressive._dirs_to_maps(dirs_ref, R, C)
+        path = seqpar.dp_path_seqpar(codes, sv, i, mesh=_mesh(n_dev),
+                                     band_rows=16)
+        got = progressive._path_to_maps(path)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_batched_giants_route_to_seqpar(monkeypatch):
+    """progressive_dp_batched with a mesh sends oversized merges through
+    the column-sharded seqpar path; output identical to the pure-numpy
+    progressive DP."""
+    rng = np.random.default_rng(11)
+    gaps = [
+        [rng.integers(0, 4, size=int(rng.integers(150, 260)))
+         for _ in range(4)]
+        for _ in range(3)
+    ]
+    want = [progressive.progressive_dp([g.copy() for g in gs],
+                                       dp_backend="numpy")
+            for gs in gaps]
+    # a tiny dirs cap forces every non-trivial merge off the padded
+    # batch and onto the giant path
+    monkeypatch.setattr(progressive, "BATCH_DIRS_CAP", 1)
+    calls = {"n": 0}
+    from csa_tpu.dp import seqpar as seqpar_mod
+
+    real = seqpar_mod.dp_path_seqpar
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(seqpar_mod, "dp_path_seqpar", spy)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("gap",))
+    got = progressive.progressive_dp_batched(
+        [[g.copy() for g in gs] for gs in gaps], mesh=mesh
+    )
+    assert calls["n"] > 0
+    for gs_want, gs_got in zip(want, got):
+        for a, b in zip(gs_want, gs_got):
+            np.testing.assert_array_equal(a, b)
