@@ -353,11 +353,12 @@ def profile_path_pallas(
     sc = _current_scoring()
     if edge_rowgap is None:
         edge_rowgap = sc.indel * i
+    from .wavefront import _bucket_dim
+
     R = len(row_codes)
     C = len(scorevector)
-    q = PAD_QUANTUM
-    Rp = max(q, _round_up(R, q))
-    Cp = max(q, _round_up(C, q))
+    Rp = _bucket_dim(R)
+    Cp = _bucket_dim(C)
     codes = np.zeros((1, Rp), dtype=np.int8)
     codes[0, :R] = row_codes
     svp = np.zeros((1, Cp, 5), dtype=np.int8)

