@@ -1319,6 +1319,19 @@ def _device_build(encoded: Sequence[np.ndarray], mesh=None):
     sizes = np.array([len(e) for e in encoded], dtype=np.int32)
     n_max = _bucket(int(sizes.max()))
     if mesh is not None:
+        # shard-local ladder (parallel/dsort_ladder.py): per-device sort
+        # work genuinely divides, vs the GSPMD partitioner which
+        # REPLICATES sorts along a sharded dim.  Power-of-two meshes
+        # only (the bitonic merge-split network); escape hatch:
+        # CSA_TPU_SHARDED_SORT=xla
+        n_dev = int(np.prod(np.asarray(mesh.devices).shape))
+        if (
+            n_dev & (n_dev - 1) == 0
+            and _os.environ.get("CSA_TPU_SHARDED_SORT", "dsort") == "dsort"
+        ):
+            from ..parallel import dsort_ladder
+
+            return dsort_ladder.device_build_dsort(encoded, mesh)
         pos_axis = int(mesh.shape.get("pos", 1))
         n_max = -(-n_max // pos_axis) * pos_axis
     codes = np.zeros((k, n_max), dtype=np.int8)  # int8 upload: the code

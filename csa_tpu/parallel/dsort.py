@@ -101,6 +101,65 @@ def _merge_halves(a, b, keep_low):
     return jnp.minimum(ha, hb)
 
 
+def _merge_halves_pair(ka, pa, kb, pb, keep_low, a_first):
+    """Merge-split of two sorted (key, payload) blocks; keys MAY tie.
+
+    Both exchange partners compute this merge independently (one keeps
+    the low half, the other the high half), so the tie ORDER must be
+    decided identically on both sides — NOT "my block first": ``a_first``
+    says whether the local block precedes the partner's on ties (lower
+    device index wins).  With that, the merge ranks (first block's equal
+    elements before the second's) form a bijection onto 0..2S-1 even
+    with duplicate keys, and the payloads ride the same indices.
+    """
+    S = ka.shape[0]
+    lo_a = jnp.searchsorted(kb, ka, side="left").astype(jnp.int32)
+    hi_a = jnp.searchsorted(kb, ka, side="right").astype(jnp.int32)
+    lo_b = jnp.searchsorted(ka, kb, side="left").astype(jnp.int32)
+    hi_b = jnp.searchsorted(ka, kb, side="right").astype(jnp.int32)
+    ra = jnp.arange(S, dtype=jnp.int32) + jnp.where(a_first, lo_a, hi_a)
+    rb = jnp.arange(S, dtype=jnp.int32) + jnp.where(a_first, hi_b, lo_b)
+    lo = jnp.where(keep_low, 0, S)
+    ia = ra - lo
+    ia = jnp.where((ia >= 0) & (ia < S), ia, S)
+    ib = rb - lo
+    ib = jnp.where((ib >= 0) & (ib < S), ib, S)
+    ksent = jnp.int64(np.iinfo(np.int64).max)
+    hk = jnp.full(S, ksent).at[ia].set(ka, mode="drop")
+    hk = jnp.minimum(hk, jnp.full(S, ksent).at[ib].set(kb, mode="drop"))
+    hp = jnp.zeros(S, pa.dtype).at[ia].set(pa, mode="drop")
+    hp = hp.at[ib].set(pb, mode="drop")
+    return hk, hp
+
+
+def net_sort_pairs(u, p, axis: str, num_dev: int):
+    """Distributed (key int64, payload) sort, callable INSIDE a
+    ``shard_map`` body whose mesh axis ``axis`` has ``num_dev`` (a power
+    of two) devices.  ``u``/``p`` are the local shards; returns the
+    local shards of the globally key-sorted pairs.  Keys may tie (the
+    pairwise merges are stable); tie ORDER across blocks is
+    deterministic but not the global stable order — callers that need
+    exact stability must make keys unique.
+    """
+    u, p = jax.lax.sort((u, p), num_keys=1, is_stable=True)
+    if num_dev == 1:
+        return u, p
+    me = jax.lax.axis_index(axis)
+    m = num_dev.bit_length() - 1
+    stages = _merge_split_net(num_dev)
+    bits = []
+    for kk in range(1, m + 1):
+        for j in reversed(range(kk)):
+            bits.append(1 << j)
+    for (perm, keep_low_np), bit in zip(stages, bits):
+        tu = jax.lax.ppermute(u, axis, perm)
+        tp = jax.lax.ppermute(p, axis, perm)
+        keep_low = jnp.asarray(keep_low_np)[me]
+        a_first = (me & bit) == 0  # lower-indexed partner's ties first
+        u, p = _merge_halves_pair(u, p, tu, tp, keep_low, a_first)
+    return u, p
+
+
 def sharded_sort_program(mesh: Mesh, axis: str):
     """Build (and cache) the distributed sort of unique int64 keys over
     ``mesh[axis]``; input/output sharded ``P(axis)``."""
