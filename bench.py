@@ -461,6 +461,29 @@ def device_parts() -> dict:
         out["full_pipeline_jax_wall_s"] = round(pipe_wall, 2)
         out["aligned_fasta_byte_identical_jax"] = identical
 
+    def _set3_jax():
+        # Set3 under --backend jax: its ~480 Mcell giant merges exceed
+        # the device gate, so the profile-DP Pallas kernel actually
+        # executes (dp_device_dispatches > 0); warm wall + integrity
+        import contextlib
+        import re
+
+        from csa_tpu import cli
+
+        with tempfile.TemporaryDirectory() as td:
+            shutil.copy(REPO / "tests" / "fixtures" / "Set3.txt", td)
+            inp = str(pathlib.Path(td, "Set3.txt"))
+            with contextlib.redirect_stdout(io.StringIO()):
+                cli.main([inp, "--backend", "jax"])  # warm/compile
+            sink = io.StringIO()
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(sink):
+                cli.main([inp, "--backend", "jax", "--profile"])
+            out["set3_jax_wall_s"] = round(time.perf_counter() - t0, 2)
+            m = re.search(r"dp_device_dispatches: (\d+)", sink.getvalue())
+            total = int(m.group(1)) if m else 0
+            out["set3_jax_device_dp_dispatches"] = total
+
     def _mbp():  # the Mbp head-to-head: device engine vs native engine
         mbp_jax, rot_jax = bench_mbp(backend="jax")
         mbp_nat, rot_nat = bench_mbp(backend="native")
@@ -487,6 +510,7 @@ def device_parts() -> dict:
 
     stage(_rot, "device_rotation")
     stage(_pipe, "full_pipeline_jax")
+    stage(_set3_jax, "set3_jax")
     stage(_mbp, "mbp_device")
     stage(_mbp5, "mbp_4x5m_device")
     stage(_rowscan, "dp_rowscan")
