@@ -364,6 +364,79 @@ _linear_index_device = functools.partial(
 )(linear_index_program)
 
 
+@functools.partial(jax.jit, static_argnames=("total", "levels"))
+def _linear_index_device_et(s, valid_n, *, total: int, levels: int):
+    """Early-terminating twin of :func:`linear_index_program`: the
+    doubling levels run under an on-device ``while_loop`` that stops
+    when every group is a singleton (real inputs resolve in ~6-8 levels
+    where the static program burns ~18), rank snapshots go into a
+    (levels, total) stack whose unused rows hold the final all-unique
+    rank — their LCP-descent steps are exact no-ops (``rank[a+off] ==
+    rank[b+off]`` needs ``a == b`` under unique ranks).  Used for the
+    small-input regime (the alignment anchors at mtDNA scale), where the
+    unrolled program's dead levels dominate the wall."""
+    g = jnp.arange(total, dtype=jnp.int32)
+    big = jnp.int32(total)
+    real = g < valid_n
+    rank0 = jnp.where(real, s.astype(jnp.int32), big + g)
+    stack0 = jnp.zeros((levels, total), jnp.int32).at[0].set(rank0)
+
+    def cond(state):
+        _r, _o, t, tied, _st = state
+        return tied & (t < levels - 1)
+
+    def body(state):
+        rank, _o, t, _tied, stack = state
+        pos2 = g + (jnp.int32(1) << t)
+        rank2 = jnp.where(
+            real & (pos2 < valid_n),
+            rank[jnp.minimum(pos2, total - 1)],
+            jnp.int32(-1),
+        )
+        r1s, r2s, order = jax.lax.sort(
+            (rank, rank2, g), num_keys=2, is_stable=True
+        )
+        samegrp = (r1s[1:] == r1s[:-1]) & (r2s[1:] == r2s[:-1])
+        tied = jnp.any(samegrp)
+        newgrp = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), (~samegrp).astype(jnp.int32)]
+        )
+        dense = jnp.cumsum(newgrp)
+        rank = (
+            jnp.zeros(total, jnp.int32)
+            .at[order]
+            .set(dense.astype(jnp.int32))
+        )
+        rank = jnp.where(real, rank, big + g)
+        stack = jax.lax.dynamic_update_slice_in_dim(
+            stack, rank[None, :], t + 1, axis=0
+        )
+        return (rank, order, t + 1, tied, stack)
+
+    order0 = jax.lax.sort((rank0, g), num_keys=1, is_stable=True)[1]
+    rank, order, L, _tied, stack = jax.lax.while_loop(
+        cond, body, (rank0, order0, jnp.int32(0), jnp.bool_(True), stack0)
+    )
+    rows = jnp.arange(levels, dtype=jnp.int32)[:, None]
+    stack = jnp.where(rows > L, rank[None, :], stack)
+    sa = order.astype(jnp.int32)
+
+    a = sa[:-1]
+    b = sa[1:]
+    off = jnp.zeros(total - 1, dtype=jnp.int32)
+    for t in range(levels - 1, -1, -1):
+        ga = a + off
+        gb = b + off
+        ok = (ga < valid_n) & (gb < valid_n)
+        eq = ok & (
+            stack[t][jnp.minimum(ga, total - 1)]
+            == stack[t][jnp.minimum(gb, total - 1)]
+        )
+        off = jnp.where(eq, off + jnp.int32(1 << t), off)
+    lcp = jnp.concatenate([jnp.zeros(1, jnp.int32), off])
+    return sa, lcp
+
+
 def linear_suffix_order(s_real: np.ndarray):
     """Host wrapper: pad, run the device linear sort, return (sa, lcp)
     over the real entries only (sorted order, pads stripped)."""
@@ -372,7 +445,14 @@ def linear_suffix_order(s_real: np.ndarray):
     levels = _linear_levels(total)
     s = np.zeros(total, dtype=np.int32)
     s[:n] = s_real
-    sa, lcp = _linear_index_device(
+    # small inputs: the early-terminating while_loop variant skips the
+    # ~2/3 dead doubling levels (0.28 s -> ~0.1 s at mtDNA scale); big
+    # inputs keep the unrolled program (no (levels, total) stack)
+    impl = (
+        _linear_index_device_et if total <= FUSED_MAX_CHARS
+        else _linear_index_device
+    )
+    sa, lcp = impl(
         jnp.asarray(s), jnp.int32(n), total=total, levels=levels
     )
     sa = np.asarray(sa).astype(np.int64)

@@ -186,9 +186,39 @@ def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
         )
     )
 
+    # Set3-scale GIANT merge through the production seqpar path
+    # (VERDICT r3 item 2): one ~17k x 28k profile-DP fill column-sharded
+    # over the full mesh with ppermute halo exchange + on-device
+    # backtrack; walk-order path identical to the host engine's.
+    from ..dp import seqpar
+
+    rngg = np.random.default_rng(21)
+    Rg, Cg, ig = 17408, 28160, 9
+    gcodes = rngg.integers(0, 4, size=Rg).astype(np.int8)
+    gsv = rngg.integers(0, 3, size=(Cg, 5)).astype(np.int64)
+    gtop = progressive.default_top_row(gsv, ig)
+    col_mesh = Mesh(np.asarray(jax.devices()), ("col",))
+    seqpar.dp_path_seqpar(gcodes, gsv, ig, mesh=col_mesh, top_row=gtop,
+                          edge_rowgap=-ig)  # compile + warm
+    t0 = time.perf_counter()
+    gpath = seqpar.dp_path_seqpar(gcodes, gsv, ig, mesh=col_mesh,
+                                  top_row=gtop, edge_rowgap=-ig)
+    giant_wall = time.perf_counter() - t0
+    from .. import native
+
+    ghost = native.dp_fill_path(
+        gcodes.astype(np.int64), gsv, ig, gtop, -ig
+    )
+    giant_exact = ghost is not None and np.array_equal(gpath, ghost[1])
+
     return {
         "workload": f"{k}x{n//1000}kbp synthetic (0.5% mutations)",
         "virtual_mesh_walls_s": walls,
+        "giant_merge_seqpar": {
+            "shape": f"{Rg}x{Cg} (Set3-scale, {Rg*Cg/1e6:.0f} Mcells)",
+            "wall_s_8dev_virtual": round(giant_wall, 2),
+            "path_identical_to_host_engine": bool(giant_exact),
+        },
         "cascade_parity_across_meshes": True,
         "sharded_alignment_parity_8dev": bool(align_parity),
         "note": (
