@@ -29,8 +29,6 @@ row's diagonal operand with no extra bookkeeping.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

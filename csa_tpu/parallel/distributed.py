@@ -131,7 +131,24 @@ def _child_main(argv) -> int:
     # process boundary, so the merge stage's psum/all_gather cross DCN
     mesh = sharded.make_mesh()  # all 8 global devices
     blocks = sharded.rotation_blocks_sharded(encoded, mesh=mesh)
+
+    # the shard-local ladder across processes: a DCN-crossing
+    # distributed sort (block-bitonic ppermute exchanges between
+    # devices owned by DIFFERENT OS processes) driving the full
+    # production index build
+    from ..index import engine
+
+    fin = engine.rotation_final_jax(encoded, mesh=mesh)
+    fin_ok = None
+    if int(pid) == 0 and fin is not None:
+        single = engine.rotation_final_jax(encoded)
+        fin_ok = bool(
+            single is not None
+            and np.array_equal(fin.final_start, single.final_start)
+            and np.array_equal(fin.final_positions, single.final_positions)
+        )
     result = {
+        "ladder_parity_cross_process": fin_ok,
         "processes": jax.process_count(),
         "global_devices": jax.device_count(),
         "local_devices": len(jax.local_devices()),

@@ -57,6 +57,21 @@ def _flat_mesh(mesh) -> Mesh:
     return Mesh(np.asarray(mesh.devices).reshape(-1), ("x",))
 
 
+_REP_PROGRAMS: dict = {}
+
+
+def _replicate_program(mesh: Mesh):
+    """jit that reshards a mesh array to fully replicated (an in-program
+    all_gather — works across processes, unlike host-side np.asarray of
+    a non-addressable sharded array)."""
+    prog = _REP_PROGRAMS.get(id(mesh))
+    if prog is None:
+        rep = NamedSharding(mesh, P())
+        prog = jax.jit(lambda x: jax.lax.with_sharding_constraint(x, rep))
+        _REP_PROGRAMS[id(mesh)] = prog
+    return prog
+
+
 def _stats_and_rank(su, sg, *, D: int, S: int, N: int):
     """Group stats of the sorted keys + the rank rebuild, shard-local.
 
@@ -268,14 +283,24 @@ def device_build_dsort(encoded, mesh):
     for i, e in enumerate(encoded):
         codes[i, : len(e)] = e
 
+    from . import sharded as _sharded
+
+    rep_prog = _replicate_program(fmesh)
     with jax.enable_x64():
         progs = _ladder_programs(fmesh, k, n_max)
         sh = NamedSharding(fmesh, P("x"))
         rep = NamedSharding(fmesh, P())
-        jc = jax.device_put(jnp.asarray(codes), NamedSharding(fmesh, P(None)))
-        js = jax.device_put(jnp.asarray(sizes), rep)
+        # put_global handles multi-process meshes (each process builds
+        # only its addressable shards), so the ladder also serves the
+        # N-host launch — a DCN-crossing distributed sort
+        jc = _sharded.put_global(codes, NamedSharding(fmesh, P(None)))
+        js = _sharded.put_global(sizes, rep)
         packed = engine._pack_keys_program(jc, js, k=k, n_max=n_max)
-        packed = jax.device_put(packed, sh)
+        shard_x = _REP_PROGRAMS.setdefault(
+            ("x", id(fmesh)),
+            jax.jit(lambda x: jax.lax.with_sharding_constraint(x, sh)),
+        )
+        packed = shard_x(packed)
 
         rank, order, nt, mg = progs["level0"](packed, js)
         ranks = [rank]
@@ -290,27 +315,27 @@ def device_build_dsort(encoded, mesh):
             ntv = int(nt)
             t += 1
         if ntv > 0:
-            rfull = jnp.asarray(np.asarray(rank))
-            ofull = jnp.asarray(np.asarray(order))
+            rfull = rep_prog(rank)
+            ofull = rep_prog(order)
             if bool(
                 engine._dup_check_program(ofull, rfull, js, k=k, n_max=n_max)
             ):
                 return None, None
 
         a, b, n_a, n_b, is_pair = progs["lcp_prep"](order, js)
-        off = jax.device_put(jnp.zeros(N, jnp.int32), sh)
+        off = _sharded.put_global(np.zeros(N, np.int32), sh)
         for tt in range(len(ranks) - 1, -1, -1):
             off = progs["lcp_step"](
                 off, ranks[tt], a, b, n_a, n_b, is_pair,
                 jnp.int32(engine.PACK_W << tt),
             )
-        packed_rep = jax.device_put(jnp.asarray(np.asarray(packed)), rep)
+        packed_rep = rep_prog(packed)
         lcp = progs["lcp_tail"](
             off, packed_rep, a, b, n_a, n_b, is_pair, js
         )
 
-    # replicated host views for the (still single-logical-device)
-    # collect cascade
-    order_r = jnp.asarray(np.asarray(order))
-    lcp_r = jnp.asarray(np.asarray(lcp))
+    # replicated views for the (still single-logical-device) collect
+    # cascade — an in-jit resharding (all_gather), valid cross-process
+    order_r = rep_prog(order)
+    lcp_r = rep_prog(lcp)
     return (order_r, lcp_r, js), (k, n_max, mg0)
