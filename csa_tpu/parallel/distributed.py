@@ -104,6 +104,11 @@ def _child_main(argv) -> int:
     # jax.config (which beats the JAX_PLATFORMS env var); force CPU the
     # same way tests/conftest.py does
     jax.config.update("jax_platforms", "cpu")
+    try:  # share compiled programs across dryrun invocations
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=int(nproc),
