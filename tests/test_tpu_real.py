@@ -77,3 +77,40 @@ def test_progressive_dp_device_path_on_chip():
     assert len(host) == len(dev)
     for a, b in zip(host, dev):
         np.testing.assert_array_equal(a, b)
+
+
+@requires_tpu
+def test_pallas_profile_forced_on_chip(monkeypatch):
+    """Force EVERY merge through the Pallas profile-DP kernel (single
+    and batched launches) and pin the alignments against numpy."""
+    from csa_tpu.align import progressive
+
+    monkeypatch.setenv("CSA_TPU_DEVICE_MIN_CELLS", "1")
+    monkeypatch.setenv("CSA_TPU_BATCH_MIN_CELLS", "1")
+    rng = np.random.default_rng(17)
+    gaps = [
+        rng.integers(0, 4, size=rng.integers(200, 700)).astype(np.int8)
+        for _ in range(5)
+    ]
+    host = progressive.progressive_dp([g.copy() for g in gaps],
+                                      dp_backend="numpy")
+    dev = progressive.progressive_dp([g.copy() for g in gaps],
+                                     dp_backend="jax")
+    for a, b in zip(host, dev):
+        np.testing.assert_array_equal(a, b)
+
+    many = [
+        [rng.integers(0, 4, size=rng.integers(100, 400)) for _ in range(4)]
+        for _ in range(3)
+    ]
+    hostb = [
+        progressive.progressive_dp([g.copy() for g in gs],
+                                   dp_backend="numpy")
+        for gs in many
+    ]
+    devb = progressive.progressive_dp_batched(
+        [[g.copy() for g in gs] for gs in many]
+    )
+    for hs, ds in zip(hostb, devb):
+        for a, b in zip(hs, ds):
+            np.testing.assert_array_equal(a, b)
