@@ -866,14 +866,24 @@ def _collect_pack_program(
     pathological Mbp sets the full transfer alone costs seconds over the
     tunnel, docs/PERFORMANCE.md).
     """
+    front = _collect_front(order, lcp, lengths, k=k, n_max=n_max,
+                           tdeep=tdeep)
+    return _collect_tail(order, lcp, lengths, *front, k=k, n_max=n_max,
+                         cap=cap, ecap=ecap, fcap=fcap)
+
+
+def _collect_front(order, lcp, lengths, *, k: int, n_max: int, tdeep: int):
+    """The N-sized front of the collect cascade: PSV/NSV intervals,
+    all-sequence coverage, canonical representatives, deepest-node
+    marking.  Returns (collected, start, end) — everything the cap-sized
+    tail consumes.  Split out so the sharded path can run a shard-local
+    twin (parallel/collect_sharded.py) and feed the same tail."""
     n_total = k * n_max
     idx = jnp.arange(n_total, dtype=jnp.int32)
     n_of = _n_of_flat(lengths, k, n_max)
     pos_sorted = order % jnp.int32(n_max)
     seq_sorted = order // jnp.int32(n_max)
     valid_s = pos_sorted < n_of[order]
-
-    # ---- PSV/NSV ----
     BIGN = jnp.int32(n_total)
     psv = jnp.full(n_total, -1, jnp.int32)
     nsv = jnp.full(n_total, n_total, jnp.int32)
@@ -962,6 +972,18 @@ def _collect_pack_program(
         .max(has_parent)
     )
     collected = is_canon & allseq & ~haschild
+    return collected, start, end
+
+
+def _collect_tail(order, lcp, lengths, collected, start, end, *, k: int,
+                  n_max: int, cap: int, ecap: int, fcap: int = 0):
+    """The cap/ecap-sized back half of the collect cascade (compaction,
+    interval expansion, suffix join, uniqueness, packing); consumes the
+    front's (collected, start, end) regardless of which twin computed
+    them."""
+    n_total = k * n_max
+    n_of = _n_of_flat(lengths, k, n_max)
+    pos_sorted = order % jnp.int32(n_max)
 
     # ---- compact to cap blocks ----
     nb = jnp.sum(collected).astype(jnp.int32)
@@ -1061,6 +1083,10 @@ def _collect_pack_program(
 _collect_pack = functools.partial(
     jax.jit, static_argnames=("k", "n_max", "tdeep", "cap", "ecap", "fcap")
 )(_collect_pack_program)
+
+_collect_tail_jit = functools.partial(
+    jax.jit, static_argnames=("k", "n_max", "cap", "ecap", "fcap")
+)(_collect_tail)
 
 
 def _pow2_at_least(x: int, floor: int = 1) -> int:
@@ -1364,11 +1390,39 @@ def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
     cap = max(cap, ccap)
     ecap = max(ecap, _pow2_at_least(cap * (k + 2), 1 << 14))
     fcap = max(fcap, 4096)
+    # under a power-of-two mesh the collect cascade's N-sized front runs
+    # shard-local (parallel/collect_sharded.py); the cap-sized tail —
+    # whose caps may retry — stays replicated and reuses the front
+    front = None
+    n_dev = 1 if mesh is None else int(
+        np.prod(np.asarray(mesh.devices).shape)
+    )
+    if (
+        mesh is not None
+        and n_dev & (n_dev - 1) == 0
+        and _os.environ.get("CSA_TPU_SHARDED_COLLECT", "dsort") == "dsort"
+    ):
+        from ..parallel import collect_sharded, dsort_ladder
+
+        fmesh = dsort_ladder._flat_mesh(mesh)
+        rep = dsort_ladder._replicate_program(fmesh)
+        with jax.enable_x64():
+            prog = collect_sharded.collect_front_program(
+                fmesh, k=k, n_max=n_max, tdeep=tdeep
+            )
+            col, st, en = prog(order, lcp, js)
+        front = (rep(col), rep(st), rep(en))
     while True:
-        packed = _collect_pack(
-            order, lcp, js, k=k, n_max=n_max, tdeep=tdeep, cap=cap,
-            ecap=ecap, fcap=fcap,
-        )
+        if front is not None:
+            packed = _collect_tail_jit(
+                order, lcp, js, *front, k=k, n_max=n_max, cap=cap,
+                ecap=ecap, fcap=fcap,
+            )
+        else:
+            packed = _collect_pack(
+                order, lcp, js, k=k, n_max=n_max, tdeep=tdeep, cap=cap,
+                ecap=ecap, fcap=fcap,
+            )
         arr = np.asarray(packed)  # slim device->host transfer
         nb, total_e, n_suffix, n_final = (int(x) for x in arr[:4])
         if nb > cap:
