@@ -62,7 +62,6 @@ from ..config import Scoring, scoring as _current_scoring
 NEG = -(2**26)       # fictitious-cell floor; max climb ~128/diagonal
 K = 16               # diagonals per grid step (multiple of 4 for packing; K=32 measured ~8% faster at G=32 but not worth invalidating every cached compile)
 BT_UNROLL = 48       # backtrack steps per while_loop iteration
-PAD_QUANTUM = 512    # R/C bucketing quantum (bounds recompiles)
 
 
 def _profile_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
