@@ -98,3 +98,36 @@ def test_degenerate_single_row_and_col():
         want = _golden_maps(item)
         assert np.array_equal(got[0], want[0])
         assert np.array_equal(got[1], want[1])
+
+
+def test_max_profile_counts_i64():
+    """i = 64 (the reference's MAXNUMBEROFSEQS bound) saturates the
+    count-based scores; the int32 kernel must stay exact."""
+    rng = np.random.default_rng(64)
+    R, C, i = 90, 140, 64
+    codes = rng.integers(0, 4, size=R).astype(np.int64)
+    sv = rng.integers(0, 65, size=(C, 5)).astype(np.int64)
+    top = progressive.default_top_row(sv, i)
+    item = (codes, sv, i, top, -i)
+    path = pallas_profile.profile_path_pallas(*item, interpret=True)
+    got = progressive._path_to_maps(path)
+    want = _golden_maps(item)
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(got[1], want[1])
+
+
+def test_bucket_edge_shapes():
+    """R/C exactly at and one past the 512 bucket edge exercise the
+    padded fictitious-lane regions."""
+    rng = np.random.default_rng(512)
+    for R, C in [(512, 512), (513, 511), (511, 513)]:
+        i = 5
+        codes = rng.integers(0, 4, size=R).astype(np.int64)
+        sv = rng.integers(0, 3, size=(C, 5)).astype(np.int64)
+        top = progressive.default_top_row(sv, i)
+        item = (codes, sv, i, top, -i)
+        path = pallas_profile.profile_path_pallas(*item, interpret=True)
+        got = progressive._path_to_maps(path)
+        want = _golden_maps(item)
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
