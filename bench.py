@@ -299,8 +299,8 @@ def bench_profile_dp_kernel():
         its = mk(G)
         pallas_profile.profile_paths_pallas(its)  # compile + warm
         times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        for _ in range(5):  # best-of-5: the tunneled chip's walls are
+            t0 = time.perf_counter()  # noisy under concurrent load
             pallas_profile.profile_paths_pallas(its)
             times.append(time.perf_counter() - t0)
         rate = G * R * C / min(times) / 1e9
