@@ -1377,8 +1377,13 @@ def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
     hand-written collective merge lives in
     :func:`csa_tpu.parallel.sharded.rotation_blocks_sharded`; this path
     is the same round-3 algorithm as single-device, just sharded."""
-    total = sum(len(e) for e in encoded)
-    if mesh is None and total <= FUSED_MAX_CHARS:
+    # gate on the PADDED working-set size k * bucket(max len) — that is
+    # the actual rank-stack row width of _fused_small_program — not the
+    # raw character total: a skewed set (one long sequence + many short
+    # ones) pads every row to the longest and can blow device memory on
+    # a path meant for small inputs (ADVICE r4).
+    padded = len(encoded) * _bucket(max((len(e) for e in encoded), default=8))
+    if mesh is None and padded <= FUSED_MAX_CHARS:
         return _rotation_final_fused(encoded, cap)
     arrays, aux = _device_build(encoded, mesh=mesh)
     if arrays is None:

@@ -187,14 +187,17 @@ def assemble_chains(
     """
     chains = len(blocks)
     # cycle detection in O(nb): a walk that re-enters a block already
-    # visited DURING THIS WALK can only mean the successor links loop
-    # (absorbed blocks terminate the walk before re-traversal, so every
-    # legitimate walk visits each block at most once).  A per-call epoch
-    # mark replaces the old quadratic step counter (VERDICT r3 weak #7).
-    epoch = object()
+    # visited DURING THIS WALK can only mean the successor links loop.
+    # The epoch mark is per WALK, not per call: a block absorbed by an
+    # EARLIER walk (totalsize == -1) that a later walk reaches again is
+    # re-absorbed exactly as csamsa.c:216-226 does (its depth re-added,
+    # chain count decremented again) — link_blocks can produce successor
+    # in-degree >= 2, so cross-walk revisits are legitimate.  Only a
+    # revisit within one walk — a true successor-link cycle — raises.
     for block in blocks:
         if block.totalsize == -1:
             continue
+        epoch = object()
         block.size = block.depth
         block._walk_mark = epoch
         prev = block

@@ -123,3 +123,30 @@ def test_chain_absorb_previous_head_still_works():
     n = chains_mod.assemble_chains([a, b, c], [64, 64])
     assert n == 1
     assert c.totalsize != -1 and a.totalsize == -1 and b.totalsize == -1
+
+
+def test_chain_cross_walk_revisit_is_not_a_cycle():
+    """A block absorbed mid-chain by an EARLIER walk that a later walk
+    reaches again (successor in-degree >= 2, which link_blocks can
+    produce) is re-absorbed like csamsa.c:216-226, not misdiagnosed as a
+    cycle (ADVICE r4: X->C->T walked first, then Y->C must not raise)."""
+    import numpy as np
+
+    from csa_tpu.rotation import chains as chains_mod
+
+    x = chains_mod.Block(depth=6, positions=np.array([0, 0]))
+    y = chains_mod.Block(depth=5, positions=np.array([40, 40]))
+    c = chains_mod.Block(depth=4, positions=np.array([10, 10]))
+    t = chains_mod.Block(depth=3, positions=np.array([20, 20]))
+    x.nextblock = c
+    x.next_interval = 4
+    y.nextblock = c
+    y.next_interval = 2
+    c.nextblock = t
+    c.next_interval = 6
+    n = chains_mod.assemble_chains([x, y, c, t], [64, 64])
+    # reference semantics: walk X absorbs C,T (chains 4->2); walk Y
+    # re-absorbs both, decrementing the count again (csamsa.c:224)
+    assert n == 0
+    assert x.totalsize != -1 and y.totalsize != -1
+    assert c.totalsize == -1 and t.totalsize == -1
