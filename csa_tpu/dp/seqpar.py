@@ -258,6 +258,24 @@ def dp_path_seqpar(
         # re-lay the same devices as a 1D column mesh
         mesh = Mesh(mesh.devices.reshape(-1), ("col",))
     D = int(np.prod(mesh.devices.shape))
+    from .wavefront import _dp_impl
+
+    if _dp_impl() == "pallas":
+        if D == 1:
+            # a 1-device "mesh" has no halo to exchange; the full-matrix
+            # kernel's stripe folding is strictly better than banding
+            from .pallas_profile import profile_path_pallas
+
+            return profile_path_pallas(
+                row_codes, scorevector, i, top_row=top_row,
+                edge_rowgap=edge_rowgap,
+            )
+        from .pallas_band import dp_path_band_pallas
+
+        return dp_path_band_pallas(
+            row_codes, scorevector, i, mesh=mesh, top_row=top_row,
+            edge_rowgap=edge_rowgap,
+        )
     if top_row is None:
         top_row = default_top_row(scorevector, i)
     sc = _current_scoring()

@@ -412,10 +412,18 @@ def dp_paths_device_sharded(items, mesh=None):
 
     The gap axis is sharded over a 1D ``("gap",)`` device mesh via
     shard_map; results are bit-identical to the single-device batched
-    launch (tests/test_sharded_alignment.py).
+    launch (tests/test_sharded_alignment.py).  On real accelerators the
+    per-shard body is the Pallas wavefront kernel
+    (:func:`csa_tpu.dp.pallas_profile.profile_paths_pallas_sharded`);
+    the row-scan body below is the CPU/virtual-mesh fallback.
     """
     import jax as _jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if _dp_impl() == "pallas":
+        from .pallas_profile import profile_paths_pallas_sharded
+
+        return profile_paths_pallas_sharded(items, mesh=mesh)
 
     if mesh is None:
         devs = np.asarray(_jax.devices())

@@ -67,6 +67,39 @@ def test_sharded_progressive_matches_host(mesh):
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_pallas_body_matches_rowscan(n_dev):
+    """The gap-axis shard_map with the PALLAS kernel body (the production
+    accelerator path, VERDICT r4 #1) is bit-identical to the row-scan at
+    every mesh size.  Runs the Mosaic program in interpret mode on the
+    virtual CPU mesh."""
+    from jax.sharding import Mesh
+
+    from csa_tpu.dp import pallas_profile, wavefront
+
+    devs = np.asarray(jax.devices()[:n_dev])
+    if len(devs) < n_dev:
+        pytest.skip("not enough virtual devices")
+    mesh = Mesh(devs, ("gap",))
+    rng = np.random.default_rng(17)
+    items = []
+    for _ in range(9):  # odd count: exercises mesh-multiple padding
+        R = int(rng.integers(5, 100))
+        C = int(rng.integers(5, 120))
+        i = int(rng.integers(1, 6))
+        codes = rng.integers(0, 4, size=R).astype(np.int8)
+        sv = rng.integers(0, 3, size=(C, 5)).astype(np.int64)
+        top = progressive.default_top_row(sv, i)
+        items.append((codes, sv, i, top, -i))
+    single = wavefront.dp_paths_device_batched(items)
+    sharded = pallas_profile.profile_paths_pallas_sharded(
+        items, mesh=mesh, interpret=True
+    )
+    assert len(single) == len(sharded)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_runner_sharded_backend_matches_numpy():
     """End-to-end run_alignment under the sharded backend equals numpy."""
     from csa_tpu.align import runner
