@@ -29,6 +29,22 @@ def _csv_rows(path):
     return rows
 
 
+def _positions_rows(path):
+    """Parse positions.txt: first line = #seqs, then rows of
+    ``R G B size pos0 .. posN-1``.  Returns (#seqs, [pos tuples],
+    [color triplets])."""
+    with open(path) as f:
+        n = int(f.readline())
+        pos, cols = [], []
+        for line in f:
+            vals = line.split()
+            if not vals:
+                continue
+            cols.append(tuple(vals[:3]))
+            pos.append(tuple(vals[4:]))
+    return n, pos, cols
+
+
 def test_blocks_csv_parity(fixtures_dir, tmp_path):
     src = tmp_path / "Primates.txt"
     src.write_text((fixtures_dir / "Primates.txt").read_text())
@@ -53,6 +69,22 @@ def test_blocks_csv_parity(fixtures_dir, tmp_path):
     for suffix in ("-Rotated.fasta", "-Blocks.csv", "-Blocks.bmp",
                    "-positions.txt", "-imagemap.txt"):
         assert (tmp_path / f"Primates{suffix}").exists()
+
+    # positions.txt content vs the captured reference output
+    # (csamsa.c:322-363).  The size column is the traversal-order-
+    # dependent totalsize (same class as Blocks.csv Length, PARITY.md)
+    # and equal-size rows can swap; the RGB columns are the renderer's
+    # own palette (PARITY.md: images are behavioral, not pixel/palette
+    # identical) — so the parity contract is the multiset of per-row
+    # position tuples plus the sequence count.
+    got_n, got_pos, _ = _positions_rows(
+        tmp_path / "Primates-positions.txt"
+    )
+    want_n, want_pos, _ = _positions_rows(
+        fixtures_dir / "Primates-positions-ref.txt"
+    )
+    assert got_n == want_n
+    assert sorted(got_pos) == sorted(want_pos)
 
     # BMP is structurally valid
     from csa_tpu.report.bmp import read_bmp_info
