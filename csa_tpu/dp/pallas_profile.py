@@ -60,20 +60,46 @@ from ..align.progressive import D_DIAG, D_LEFT, D_UP, GAP
 from ..config import Scoring, scoring as _current_scoring
 
 NEG = -(2**26)       # fictitious-cell floor; max climb ~128/diagonal
-K = 16               # diagonals per grid step (multiple of 4 for packing; K=32 measured ~8% faster at G=32 but not worth invalidating every cached compile)
+import os as _os
+
+# diagonals per grid step (multiple of 4 for packing); overridable for
+# benchmarking the unroll trade-off without editing cached-compile keys
+K = int(_os.environ.get("CSA_TPU_PROFILE_K", "16"))
 BT_UNROLL = 48       # backtrack steps per while_loop iteration
 
 
-def _profile_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
+# priority bits carried in the low 2 bits of the x4-scaled DP values:
+# numeric order must be diag > left > up so a plain max implements the
+# reference tie-break (dynamicprogramming.c:1014-1026).  The packed
+# direction stream stores these PRIORITIES; the backtrack translates
+# pri -> D_* via ``2 - pri`` (diag 2->0, left 1->1, up 0->2).
+PRI_DIAG = 2
+PRI_LEFT = 1
+PRI_UP = 0
+
+
+def _profile_kernel(rv_ref, svp_ref, rest_ref, cg_ref,
                     topv_ref, aux_ref, out_ref, wroll_ref, dp1_ref, rp_ref,
-                    *, S: int, Cs: int, TP: int):
+                    *, S: int, Cs: int, TP: int, A4: int):
     """One grid step = K anti-diagonals for every lane.
 
-    rv: (B, TP) int32 reversed codes, per-stripe pre-shifted (Mosaic
-    only rotates 32-bit data, so the rolled buffer is int32);
-    f0..f3/cg/topv: (B, Cs) int32 static column
-    channels; aux: (B, 128) int32 with [:,0]=rowgap, [:,1]=edge_rowgap;
-    out block: (K//4, B, Cs) int8 packed directions.
+    The DP runs in the x4-scaled priority domain: every carried value is
+    ``4*score`` with clean low bits; the three arm operands add channel
+    constants that embed ``4*cost + priority``, so one two-level ``max``
+    replaces the compare/select tie-break chain, ``& 3`` is the stored
+    direction, and subtracting it restores the clean carried value.
+    The 4-way substitution select is a shift/mask of per-column counts
+    packed in 7-bit fields (counts <= 64 by construction: i <= 64,
+    csamsa.c:23), indexed by the pre-scaled code ``w*7`` held in the
+    rolling buffer.
+
+    rv: (B, TP) int32 reversed codes PRE-MULTIPLIED BY 7, per-stripe
+    pre-shifted (Mosaic only rotates 32-bit data);
+    svp: (B, Cs) int32 packed counts sv0|sv1<<7|sv2<<14|sv3<<21;
+    rest/cg: (B, Cs) int32 scaled channels (see _profile_paths_core);
+    topv: (B, Cs) int32 x4-scaled top row; aux: (B, 128) int32 with
+    [:,0]=4*rowgap+PRI_UP, [:,1]=4*edge_rowgap; A4 static = 4*(match-mismatch);
+    out block: (K//4, B, Cs) int8 packed priorities.
     wroll/dp1/rp: persistent scratch (rolled codes, val(t-1),
     roll(val(t-2))).
     """
@@ -90,13 +116,11 @@ def _profile_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
     @pl.when(blk == 0)
     def _init():
         wroll_ref[:] = rv_ref[:]
-        dp1_ref[:] = jnp.full((B, Cs), NEG, jnp.int32)
-        rp_ref[:] = jnp.full((B, Cs), NEG, jnp.int32)
+        dp1_ref[:] = jnp.full((B, Cs), 4 * NEG, jnp.int32)
+        rp_ref[:] = jnp.full((B, Cs), 4 * NEG, jnp.int32)
 
-    f0 = f0_ref[:]
-    f1 = f1_ref[:]
-    f2 = f2_ref[:]
-    f3 = f3_ref[:]
+    svp = svp_ref[:]
+    rest = rest_ref[:]
     cg = cg_ref[:]
     topv = topv_ref[:]
     rowgap = aux_ref[:, 0:1]
@@ -107,13 +131,12 @@ def _profile_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
     acc = jnp.zeros((B, Cs), jnp.int32)
     for phase in range(K):
         t = blk * K + phase
-        # window: lane (gs, l) reads codes_g[t - flat - 1] (the char of
-        # dp row j = t - flat); wroll = roll(rv, blk*K) makes the start
-        # static per unrolled phase
-        w = wroll_ref[:, Z - phase : Z - phase + Cs]
-        f01 = jnp.where(w == 0, f0, f1)
-        f23 = jnp.where(w == 2, f2, f3)
-        sub = jnp.where(w <= 1, f01, f23)
+        # window: lane (gs, l) reads 7*codes_g[t - flat - 1] (the char
+        # of dp row j = t - flat); wroll = roll(rv, blk*K) makes the
+        # start static per unrolled phase
+        w7 = wroll_ref[:, Z - phase : Z - phase + Cs]
+        svw = jax.lax.shift_right_logical(svp, w7) & 127
+        sub = svw * A4 + rest
         # flattened-lane shift: left neighbor in dp-column order; the
         # (s, 0) element comes from (s-1, Cs-1).  Gap-block leakage at
         # sublane boundaries only reaches flat==0 lanes, which are
@@ -127,19 +150,17 @@ def _profile_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
         diag = rp + sub
         up = dp1 + rowgap
         left = lshift + cg
-        dwin = diag >= up
-        m1 = jnp.where(dwin, diag, up)
-        tl = (left > m1) | ((left == m1) & ~dwin)
-        val = jnp.where(tl, left, m1)
-        dcode = jnp.where(tl, D_LEFT, jnp.where(dwin, D_DIAG, D_UP))
-        # boundary injections (row 0 last: dp[0][0] = top[0])
+        valp = jnp.maximum(jnp.maximum(diag, up), left)
+        pri = valp & 3
+        val = valp - pri
+        # boundary injections (x4-clean; row 0 last: dp[0][0] = top[0])
         val = jnp.where(flat0, t * ergc, val)
         val = jnp.where(flat == t, topv, val)
-        # pack 2-bit codes, 4 diagonals per byte
+        # pack 2-bit priorities, 4 diagonals per byte
         if phase % 4 == 0:
-            acc = dcode
+            acc = pri
         else:
-            acc = acc + dcode * (4 ** (phase % 4))
+            acc = acc | (pri << (2 * (phase % 4)))
         if phase % 4 == 3:
             out_ref[phase // 4, :, :] = acc.astype(jnp.int8)
         rp = lshift
@@ -177,7 +198,9 @@ def _backtrack(dirs_packed, g, rr, cc, *, S: int, Cs: int, L: int):
                 ].astype(jnp.int32)
                 & 0xFF
             )
-            dmain = jax.lax.shift_right_logical(byte, 2 * (td % 4)) & 3
+            # stored 2-bit PRIORITIES translate to direction codes via
+            # 2 - pri (diag 2->0, left 1->1, up 0->2)
+            dmain = 2 - (jax.lax.shift_right_logical(byte, 2 * (td % 4)) & 3)
             dcode = jnp.where(
                 inmain,
                 dmain.astype(jnp.int8),
@@ -223,21 +246,30 @@ def _profile_paths_core(codes, sv, iv, top, erg, rr, cc, *, G: int,
         return jnp.concatenate([z, x, pad], axis=1).reshape(B, Cs)
 
     svg = sv32[..., GAP]
-    fs = [
-        chan(A * sv32[..., b] + Bc * svg + sc.mismatch * iv32[:, None])
-        for b in range(4)
-    ]
-    cgch = chan(sc.doublegap * svg + sc.indel * (iv32[:, None] - svg))
-    topv = jnp.concatenate(
+    # packed 7-bit per-base counts (counts <= 64 by construction) and
+    # the x4-scaled priority channels (see _profile_kernel)
+    svpack = chan(
+        sv32[..., 0] | (sv32[..., 1] << 7) | (sv32[..., 2] << 14)
+        | (sv32[..., 3] << 21)
+    )
+    restch = chan(
+        4 * (Bc * svg + sc.mismatch * iv32[:, None]) + PRI_DIAG
+    )
+    cgch = chan(
+        4 * (sc.doublegap * svg + sc.indel * (iv32[:, None] - svg))
+        + PRI_LEFT
+    )
+    topv = 4 * jnp.concatenate(
         [top, jnp.zeros((G, Cpad - Cmax - 1), jnp.int32)], axis=1
     ).reshape(B, Cs)
     aux = jnp.zeros((G, S, 128), jnp.int32)
-    aux = aux.at[:, :, 0].set((sc.indel * iv32)[:, None])
-    aux = aux.at[:, :, 1].set(erg.astype(jnp.int32)[:, None])
+    aux = aux.at[:, :, 0].set((4 * sc.indel * iv32)[:, None] + PRI_UP)
+    aux = aux.at[:, :, 1].set(4 * erg.astype(jnp.int32)[:, None])
     aux = aux.reshape(B, 128)
 
-    # reversed, per-stripe shifted codes: rv[g*S+s, u] = codes_g[src],
-    # src = Z - u - 1 - s*Cs (pad 4 outside [0, Rmax))
+    # reversed, per-stripe shifted codes x7 (the packed-count shift
+    # amounts): rv[g*S+s, u] = 7*codes_g[src], src = Z - u - 1 - s*Cs
+    # (pad code 4 -> shift 28 lands in the empty top bits)
     u = jnp.arange(TP, dtype=jnp.int32)[None, :]
     s_idx = jnp.arange(S, dtype=jnp.int32)[:, None]
     src = Z - u - 1 - s_idx * Cs                                 # (S, TP)
@@ -247,13 +279,14 @@ def _profile_paths_core(codes, sv, iv, top, erg, rr, cc, *, G: int,
         jnp.where(valid[None], gathered, jnp.int8(4))
         .reshape(B, TP)
         .astype(jnp.int32)
+        * 7
     )
 
     nblk = Dtot // K
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(
             (K // 4, B, Cs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -264,14 +297,14 @@ def _profile_paths_core(codes, sv, iv, top, erg, rr, cc, *, G: int,
         ],
     )
     dirs_packed = pl.pallas_call(
-        functools.partial(_profile_kernel, S=S, Cs=Cs, TP=TP),
+        functools.partial(_profile_kernel, S=S, Cs=Cs, TP=TP, A4=4 * A),
         out_shape=jax.ShapeDtypeStruct((nblk * (K // 4), B, Cs), jnp.int8),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(rv, *fs, cgch, topv, aux)
+    )(rv, svpack, restch, cgch, topv, aux)
 
     L = Rmax + Cmax
     paths, nsteps = jax.vmap(

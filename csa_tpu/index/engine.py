@@ -885,15 +885,25 @@ def _collect_front(order, lcp, lengths, *, k: int, n_max: int, tdeep: int):
     seq_sorted = order // jnp.int32(n_max)
     valid_s = pos_sorted < n_of[order]
     BIGN = jnp.int32(n_total)
+    # the PACK_W forward + PACK_W backward threshold scans ride the
+    # multi-channel Pallas scan (ONE launch per direction on
+    # accelerators; bit-identical lax fallback on CPU) — the per-scan
+    # XLA lowering was the dominant share of the small-input collect
+    # wall (VERDICT r4 #6; index/mscan.py)
+    from . import mscan
+
+    vv = jnp.arange(1, PACK_W + 1, dtype=jnp.int32)[:, None]
+    below = lcp[None, :] < vv                               # (PACK_W, N)
+    rs_all = mscan.multi_cummax(jnp.where(below, idx[None, :], -1))
+    ns_all = mscan.multi_cummin(
+        jnp.where(below, idx[None, :], BIGN), reverse=True
+    )
     psv = jnp.full(n_total, -1, jnp.int32)
     nsv = jnp.full(n_total, n_total, jnp.int32)
     for v in range(1, PACK_W + 1):
-        below = lcp < v
-        rs = jax.lax.cummax(jnp.where(below, idx, -1))
-        ns = jax.lax.cummin(jnp.where(below, idx, BIGN), reverse=True)
         sel = lcp == v
-        psv = jnp.where(sel, rs, psv)
-        nsv = jnp.where(sel, ns, nsv)
+        psv = jnp.where(sel, rs_all[v - 1], psv)
+        nsv = jnp.where(sel, ns_all[v - 1], nsv)
     # (both scans include self, but self has lcp == v, not < v, so it is
     # never marked "below" — the inclusive scans are exactly psv/nsv)
 
@@ -931,11 +941,14 @@ def _collect_front(order, lcp, lengths, *, k: int, n_max: int, tdeep: int):
     has_node = lcp >= 1
 
     # ---- all-sequences coverage: L[e] = min_s lastocc_s(e) ----
-    L = None
-    for s in range(k):
-        occ = jnp.where((seq_sorted == s) & valid_s, idx, -1)
-        last = jax.lax.cummax(occ)
-        L = last if L is None else jnp.minimum(L, last)
+    # k per-sequence last-occurrence scans + cross-channel min, fused
+    # into the same multi-scan kernel
+    sv_ch = jnp.arange(k, dtype=jnp.int32)[:, None]
+    occ = jnp.where(
+        (seq_sorted[None, :] == sv_ch) & valid_s[None, :],
+        idx[None, :], -1,
+    )                                                       # (k, N)
+    L = mscan.multi_cummax(occ, min_over_channels=True)
     allseq = has_node & (L[end] >= start)
 
     # ---- canonical representative per (start, end) group ----

@@ -1,0 +1,144 @@
+"""Pallas multi-channel prefix-scan kernel (collect-front latency).
+
+VERDICT r4 #6: the small-input device rotation wall was ~0.20 s, of
+which ~0.10 s is the collect cascade's own device execution — dominated
+by ~45 sequential ``lax.cummax``/``cummin`` scans (PSV/NSV thresholds,
+per-sequence coverage), each lowering to ~log N separate passes
+(~1.3 ms apiece at Primates scale).  This kernel runs M independent
+prefix-max scans in ONE launch: channels ride the sublane axis, the
+array is walked in lane-chunks by a sequential grid, each chunk does a
+log2(chunk) shift-max ladder entirely in registers/VMEM, and an (M, 1)
+carry in scratch links chunks.  One launch replaces M*log(N) XLA passes.
+
+``multi_cummax(chans)`` is exact integer prefix max — bit-identical to
+``jax.lax.cummax`` per channel (tests/test_mscan.py) — with ``reverse``
+(suffix scans via flips) and ``min_over_channels`` (fused cross-channel
+minimum, the coverage consumer) options.  ``cummin`` = negate around a
+max scan.  On CPU or for out-of-gate shapes the helpers fall back to
+``jax.lax`` scans, so consumers stay backend-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2**31) + 1              # max identity (padding / shift-in)
+CHUNK = 2048                    # lanes per grid step
+
+
+def _mscan_kernel(x_ref, out_ref, carry_ref, *, M: int, E: int,
+                  steps: int, reduce_min: bool):
+    """One grid step: inclusive prefix max of an (M, E) chunk + carry."""
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        carry_ref[:] = jnp.full((M, 1), NEG, jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M, E), 1)
+    x = x_ref[:, :]
+    for t in range(steps):
+        sh = 1 << t
+        r = pltpu.roll(x, shift=sh, axis=1)
+        x = jnp.maximum(x, jnp.where(lane >= sh, r, jnp.int32(NEG)))
+    x = jnp.maximum(x, carry_ref[:, :])
+    carry_ref[:, :] = x[:, E - 1 : E]
+    if reduce_min:
+        out_ref[:, :] = jnp.broadcast_to(
+            jnp.min(x, axis=0, keepdims=True), (8, E)
+        )
+    else:
+        out_ref[:, :] = x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "N", "reduce_min", "interpret")
+)
+def _mscan_program(chans, *, M: int, N: int, reduce_min: bool,
+                   interpret: bool):
+    nblk = N // CHUNK
+    steps = CHUNK.bit_length() - 1
+    Mout = 8 if reduce_min else M
+    return pl.pallas_call(
+        functools.partial(
+            _mscan_kernel, M=M, E=CHUNK, steps=steps,
+            reduce_min=reduce_min,
+        ),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((M, CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((Mout, CHUNK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mout, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((M, 1), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(chans)
+
+
+def _use_kernel() -> bool:
+    import os
+
+    impl = os.environ.get("CSA_TPU_MSCAN", "")
+    if impl == "kernel":
+        return True
+    if impl == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def multi_cummax(chans, *, reverse: bool = False,
+                 min_over_channels: bool = False,
+                 interpret: bool = False, force_kernel: bool = False):
+    """Per-channel inclusive prefix max of ``chans`` (M, N) int32 along
+    axis 1.  ``reverse`` scans right-to-left (suffix max);
+    ``min_over_channels`` returns the (N,) elementwise minimum over the
+    M scanned channels instead of the full (M, N) result."""
+    chans = jnp.asarray(chans, jnp.int32)
+    M, N = chans.shape
+    if not (force_kernel or _use_kernel()):
+        if reverse:
+            chans = chans[:, ::-1]
+        out = jax.lax.cummax(chans, axis=1)
+        if reverse:
+            out = out[:, ::-1]
+        if min_over_channels:
+            out = jnp.min(out, axis=0)
+        return out
+    # pad channels to sublane multiples, lanes to CHUNK multiples.  Pad
+    # ROWS get the cross-channel-min identity (+inf) when the fused
+    # reduce is on (so they never win), the scan identity otherwise;
+    # pad LANES sit after every real lane in scan order, so their value
+    # never reaches a real output either way.
+    Mp = max(8, -(-M // 8) * 8)
+    Np = -(-N // CHUNK) * CHUNK
+    fill = (2**31 - 1) if min_over_channels else NEG
+    x = jnp.full((Mp, Np), fill, jnp.int32)
+    x = x.at[:M, :N].set(chans[:, ::-1] if reverse else chans)
+    out = _mscan_program(x, M=Mp, N=Np, reduce_min=min_over_channels,
+                         interpret=interpret)
+    if min_over_channels:
+        res = out[0, :N]
+        return res[::-1] if reverse else res
+    out = out[:M, :N]
+    return out[:, ::-1] if reverse else out
+
+
+def multi_cummin(chans, *, reverse: bool = False,
+                 max_over_channels: bool = False,
+                 interpret: bool = False, force_kernel: bool = False):
+    """Per-channel inclusive prefix MIN (negation of multi_cummax)."""
+    chans = jnp.asarray(chans, jnp.int32)
+    out = multi_cummax(-chans, reverse=reverse,
+                       min_over_channels=max_over_channels,
+                       interpret=interpret, force_kernel=force_kernel)
+    return -out
