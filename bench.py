@@ -324,6 +324,40 @@ def bench_profile_dp_kernel():
     out["dp_profile_single_gap_gcells_per_s"] = round(
         R * C / min(times) / 1e9, 2
     )
+
+    # the sharded production path (gap-axis shard_map, Pallas body) on a
+    # 1-device mesh must run at kernel rate (VERDICT r4 #1 done-check)
+    import jax
+    from jax.sharding import Mesh
+
+    gap_mesh = Mesh(np.asarray(jax.devices()), ("gap",))
+    its = mk(64)
+    pallas_profile.profile_paths_pallas_sharded(its, mesh=gap_mesh)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pallas_profile.profile_paths_pallas_sharded(its, mesh=gap_mesh)
+        times.append(time.perf_counter() - t0)
+    out["dp_sharded_kernel_gcells_per_s"] = round(
+        64 * R * C / min(times) / 1e9, 2
+    )
+
+    # the seqpar BAND kernel (halo-exchange body) compiles under Mosaic
+    # and walks bit-identical to the batched kernel on chip
+    from csa_tpu.dp import pallas_band
+
+    rb = rng.integers(0, 4, size=700).astype(np.int8)
+    sb = rng.integers(0, 3, size=(900, 5)).astype(np.int64)
+    tb = progressive.default_top_row(sb, 6)
+    col_mesh = Mesh(np.asarray(jax.devices()), ("col",))
+    pb = pallas_band.dp_path_band_pallas(
+        rb, sb, 6, mesh=col_mesh, band_rows=256, top_row=tb,
+        edge_rowgap=-6, interpret=False,
+    )
+    want = pallas_profile.profile_path_pallas(
+        rb, sb, 6, top_row=tb, edge_rowgap=-6
+    )
+    out["band_kernel_exact_on_chip"] = bool(np.array_equal(pb, want))
     return out
 
 
@@ -366,14 +400,82 @@ def bench_verification():
     }
 
 
+def bench_mbp_full_pipeline():
+    """The FULL pipeline (rotate + align + artifacts) at the BASELINE
+    8x1 Mbp config, both backends, identical outputs (VERDICT r4 #2).
+
+    Runs as subprocesses for clean peak-RSS accounting.  Gate:
+    ``CSA_TPU_BENCH_MBP_FULL=0`` skips (the pair costs ~12 min)."""
+    import resource
+    import shutil
+    import tempfile
+
+    if os.environ.get("CSA_TPU_BENCH_MBP_FULL", "1") == "0":
+        return {"mbp_full_pipeline_skipped": True}
+    import numpy as np
+
+    out = {}
+    work = tempfile.mkdtemp(prefix="csa_mbp_")
+    try:
+        seqs = _mbp_set()
+        letters = np.array(list("ACGT"))
+        fasta = os.path.join(work, "m1.fasta")
+        with open(fasta, "w") as f:
+            for idx, enc in enumerate(seqs.encoded_all()):
+                f.write(f">m{idx}\n")
+                s = "".join(letters[enc])
+                for j in range(0, len(s), 70):
+                    f.write(s[j:j + 70] + "\n")
+        aligned = {}
+        for backend in ("native", "jax"):
+            bdir = os.path.join(work, backend)
+            os.makedirs(bdir, exist_ok=True)
+            shutil.copy(fasta, bdir)
+            r0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+            t0 = time.perf_counter()
+            proc = subprocess.run(
+                [sys.executable, "-m", "csa_tpu.cli", "m1.fasta",
+                 "--backend", backend],
+                cwd=bdir, capture_output=True, text=True, timeout=5400,
+                env={**os.environ,
+                     "PYTHONPATH": str(REPO) + os.pathsep
+                     + os.environ.get("PYTHONPATH", "")},
+            )
+            wall = time.perf_counter() - t0
+            rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+            ok = proc.returncode == 0 and "> Done!" in proc.stdout
+            out[f"mbp_full_pipeline_{backend}_wall_s"] = round(wall, 1)
+            out[f"mbp_full_pipeline_{backend}_peak_rss_gb"] = round(
+                max(rss, r0) / 1e6, 2
+            )
+            out[f"mbp_full_pipeline_{backend}_ok"] = ok
+            out[f"mbp_full_pipeline_{backend}_integrity"] = (
+                "integrity of aligned sequences... OK" in proc.stdout
+            )
+            if ok:
+                with open(os.path.join(bdir, "m1-Aligned.fasta")) as f:
+                    aligned[backend] = f.read()
+        if len(aligned) == 2:
+            out["mbp_full_pipeline_cross_backend_identical"] = (
+                aligned["native"] == aligned["jax"]
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def bench_multihost():
-    """Multi-PROCESS dryrun: 2 OS processes x 4 virtual CPU devices,
-    production sharded rotation over the global mesh (the DCN-shaped
-    launch surface, parallel/distributed.py)."""
+    """Multi-PROCESS dryruns: 2 OS processes x 4 virtual CPU devices and
+    4 x 2 — production sharded rotation + cross-process gap-DP over the
+    global mesh (the DCN-shaped launch surface,
+    parallel/distributed.py)."""
     from csa_tpu.parallel import distributed
 
     res = distributed.run_multiprocess_dryrun()
-    return {"multihost_dryrun": res}
+    res4 = distributed.run_multiprocess_dryrun(
+        n_processes=4, devices_per_process=2
+    )
+    return {"multihost_dryrun": res, "multihost_dryrun_4proc": res4}
 
 
 def bench_gated_suites():
@@ -534,6 +636,12 @@ def main() -> None:
     scaling = bench_sharded_scaling()
     multihost = bench_multihost()
     suites = bench_gated_suites()
+    try:
+        mbp_full = bench_mbp_full_pipeline()
+    except Exception as e:  # never lose the rest of the line
+        mbp_full = {
+            "mbp_full_pipeline_error": f"{type(e).__name__}: {e}"[:300]
+        }
 
     # the device measurements hang on the remote XLA compile service when
     # it is degraded; a watchdog subprocess keeps the JSON line landing
@@ -578,6 +686,7 @@ def main() -> None:
     out.update(scaling)
     out.update(multihost)
     out.update(suites)
+    out.update(mbp_full)
     out.update(dev)
     if "mbp_rotation_8x1m_native_wall_s" not in out:
         wall, _ = bench_mbp()

@@ -445,17 +445,16 @@ def profile_paths_pallas_sharded(items, mesh=None, *,
     )
     Gl = Gp // n_dev
     S, Cs, Dtot, TP = _shape_params(Gl, Rp, Cp)
+    from ..parallel.sharded import put_global
+    from .wavefront import _fetch_global
+
     shard = NamedSharding(mesh, P("gap"))
-    args = [
-        jax.device_put(jnp.asarray(x), shard)
-        for x in (codes, sv, iv, top, erg, rr, cc)
-    ]
+    args = [put_global(x, shard) for x in (codes, sv, iv, top, erg, rr, cc)]
     prog = _sharded_paths_program(
         mesh, Gl, S, Cs, Dtot, TP, Rp, Cp, _current_scoring(), interpret
     )
     paths, nsteps = prog(*args)
-    paths = np.asarray(paths)
-    nsteps = np.asarray(nsteps)
+    paths, nsteps = _fetch_global(paths, nsteps)
     return [paths[g, : int(nsteps[g])] for g in range(Gn)]
 
 

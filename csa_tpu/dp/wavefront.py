@@ -433,13 +433,27 @@ def dp_paths_device_sharded(items, mesh=None):
     codes, sv, top, iv, erg, rr, cc, Rp, Cp, Gp = _pad_batch(
         items, g_multiple=n_dev
     )
+    from ..parallel.sharded import put_global
+
     shard = NamedSharding(mesh, P("gap"))
-    args = [
-        _jax.device_put(jnp.asarray(x), shard)
-        for x in (codes, sv, iv, top, erg, rr, cc)
-    ]
+    args = [put_global(x, shard) for x in (codes, sv, iv, top, erg, rr, cc)]
     prog = _sharded_path_program(mesh, Rp, Cp, _current_scoring())
     paths, nsteps = prog(*args)
-    paths = np.asarray(paths)
-    nsteps = np.asarray(nsteps)
+    paths, nsteps = _fetch_global(paths, nsteps)
     return [paths[gdx, : int(nsteps[gdx])] for gdx in range(G)]
+
+
+def _fetch_global(paths, nsteps):
+    """Materialize sharded outputs as host arrays; on a multi-process
+    mesh the shards are gathered across processes first (every process
+    gets the full result — the dryrun parity contract)."""
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return (
+            multihost_utils.process_allgather(paths, tiled=True),
+            multihost_utils.process_allgather(nsteps, tiled=True),
+        )
+    return np.asarray(paths), np.asarray(nsteps)

@@ -1415,6 +1415,8 @@ def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
     n_dev = 1 if mesh is None else int(
         np.prod(np.asarray(mesh.devices).shape)
     )
+    from ..utils.profiling import PROFILER
+
     if (
         mesh is not None
         and n_dev & (n_dev - 1) == 0
@@ -1422,26 +1424,30 @@ def rotation_final_jax(encoded: Sequence[np.ndarray], cap: int = 4096,
     ):
         from ..parallel import collect_sharded, dsort_ladder
 
-        fmesh = dsort_ladder._flat_mesh(mesh)
-        rep = dsort_ladder._replicate_program(fmesh)
-        with jax.enable_x64():
-            prog = collect_sharded.collect_front_program(
-                fmesh, k=k, n_max=n_max, tdeep=tdeep
-            )
-            col, st, en = prog(order, lcp, js)
-        front = (rep(col), rep(st), rep(en))
+        with PROFILER.phase("idx.collect_front"):
+            fmesh = dsort_ladder._flat_mesh(mesh)
+            rep = dsort_ladder._replicate_program(fmesh)
+            with jax.enable_x64():
+                prog = collect_sharded.collect_front_program(
+                    fmesh, k=k, n_max=n_max, tdeep=tdeep
+                )
+                col, st, en = prog(order, lcp, js)
+            front = (rep(col), rep(st), rep(en))
+            if PROFILER.enabled:
+                jax.block_until_ready(front)
     while True:
-        if front is not None:
-            packed = _collect_tail_jit(
-                order, lcp, js, *front, k=k, n_max=n_max, cap=cap,
-                ecap=ecap, fcap=fcap,
-            )
-        else:
-            packed = _collect_pack(
-                order, lcp, js, k=k, n_max=n_max, tdeep=tdeep, cap=cap,
-                ecap=ecap, fcap=fcap,
-            )
-        arr = np.asarray(packed)  # slim device->host transfer
+        with PROFILER.phase("idx.collect_tail"):
+            if front is not None:
+                packed = _collect_tail_jit(
+                    order, lcp, js, *front, k=k, n_max=n_max, cap=cap,
+                    ecap=ecap, fcap=fcap,
+                )
+            else:
+                packed = _collect_pack(
+                    order, lcp, js, k=k, n_max=n_max, tdeep=tdeep, cap=cap,
+                    ecap=ecap, fcap=fcap,
+                )
+            arr = np.asarray(packed)  # slim device->host transfer
         nb, total_e, n_suffix, n_final = (int(x) for x in arr[:4])
         if nb > cap:
             cap = _pow2_at_least(nb + 1, 4096)

@@ -152,8 +152,36 @@ def _child_main(argv) -> int:
             and np.array_equal(fin.final_start, single.final_start)
             and np.array_equal(fin.final_positions, single.final_positions)
         )
+    # DP-phase leg (VERDICT r4 #9): the batched inter-anchor gap DP
+    # shard_mapped over the SAME cross-process mesh — gap shards live on
+    # devices owned by different OS processes; every process gathers the
+    # full result (process_allgather) and checks it against its local
+    # single-device batch bit for bit
+    from jax.sharding import Mesh as _Mesh
+
+    from ..align import progressive
+    from ..dp import wavefront
+
+    rng_dp = np.random.default_rng(9)
+    items = []
+    for _ in range(2 * jax.device_count()):
+        R = int(rng_dp.integers(30, 160))
+        C = int(rng_dp.integers(30, 160))
+        i = int(rng_dp.integers(1, 5))
+        cds = rng_dp.integers(0, 4, size=R).astype(np.int8)
+        sv = rng_dp.integers(0, 3, size=(C, 5)).astype(np.int64)
+        top = progressive.default_top_row(sv, i)
+        items.append((cds, sv, i, top, -i))
+    gap_mesh = _Mesh(np.asarray(jax.devices()), ("gap",))
+    paths_sh = wavefront.dp_paths_device_sharded(items, mesh=gap_mesh)
+    paths_single = wavefront.dp_paths_device_batched(items)
+    dp_ok = all(
+        np.array_equal(a, b) for a, b in zip(paths_sh, paths_single)
+    )
+
     result = {
         "ladder_parity_cross_process": fin_ok,
+        "dp_parity_cross_process": bool(dp_ok),
         "processes": jax.process_count(),
         "global_devices": jax.device_count(),
         "local_devices": len(jax.local_devices()),
@@ -233,7 +261,9 @@ def run_multiprocess_dryrun(
         for line in out.splitlines():
             if line.startswith("CSA_MULTIHOST_RESULT "):
                 res = json.loads(line[len("CSA_MULTIHOST_RESULT "):])
-                res["ok"] = bool(res.get("parity_vs_single_process"))
+                res["ok"] = bool(
+                    res.get("parity_vs_single_process")
+                ) and bool(res.get("dp_parity_cross_process"))
                 return res
     for rc, out, err in outs:
         if rc != 0:

@@ -268,9 +268,21 @@ def _ladder_programs(mesh: Mesh, k: int, n_max: int):
     return progs
 
 
+def _sync(x):
+    """Drain the dispatch queue at a stage boundary — only while the
+    profiler is on, so production keeps full async pipelining."""
+    from ..utils.profiling import PROFILER
+
+    if PROFILER.enabled:
+        jax.block_until_ready(x)
+    return x
+
+
 def device_build_dsort(encoded, mesh):
     """Drop-in for ``engine._device_build(encoded, mesh=...)`` with the
     shard-local ladder; same return contract."""
+    from ..utils.profiling import PROFILER
+
     fmesh = _flat_mesh(mesh)
     D = int(np.prod(fmesh.devices.shape))
     k = len(encoded)
@@ -293,27 +305,32 @@ def device_build_dsort(encoded, mesh):
         # put_global handles multi-process meshes (each process builds
         # only its addressable shards), so the ladder also serves the
         # N-host launch — a DCN-crossing distributed sort
-        jc = _sharded.put_global(codes, NamedSharding(fmesh, P(None)))
-        js = _sharded.put_global(sizes, rep)
-        packed = engine._pack_keys_program(jc, js, k=k, n_max=n_max)
-        shard_x = _REP_PROGRAMS.setdefault(
-            ("x", id(fmesh)),
-            jax.jit(lambda x: jax.lax.with_sharding_constraint(x, sh)),
-        )
-        packed = shard_x(packed)
-
-        rank, order, nt, mg = progs["level0"](packed, js)
-        ranks = [rank]
-        mg0 = int(mg)
-        ntv = int(nt)
-        t = 0
-        while ntv > 0 and (engine.PACK_W << t) < n_max:
-            rank, order, nt, _mg = progs["refine"](
-                rank, js, jnp.int32(engine.PACK_W << t)
+        with PROFILER.phase("idx.pack"):
+            jc = _sharded.put_global(codes, NamedSharding(fmesh, P(None)))
+            js = _sharded.put_global(sizes, rep)
+            packed = engine._pack_keys_program(jc, js, k=k, n_max=n_max)
+            shard_x = _REP_PROGRAMS.setdefault(
+                ("x", id(fmesh)),
+                jax.jit(lambda x: jax.lax.with_sharding_constraint(x, sh)),
             )
-            ranks.append(rank)
+            packed = _sync(shard_x(packed))
+
+        with PROFILER.phase("idx.l0_sort"):
+            rank, order, nt, mg = progs["level0"](packed, js)
+            ranks = [rank]
+            mg0 = int(mg)
             ntv = int(nt)
-            t += 1
+            _sync(rank)
+        t = 0
+        with PROFILER.phase("idx.refine"):
+            while ntv > 0 and (engine.PACK_W << t) < n_max:
+                rank, order, nt, _mg = progs["refine"](
+                    rank, js, jnp.int32(engine.PACK_W << t)
+                )
+                ranks.append(rank)
+                ntv = int(nt)
+                t += 1
+            _sync(rank)
         if ntv > 0:
             rfull = rep_prog(rank)
             ofull = rep_prog(order)
@@ -322,20 +339,23 @@ def device_build_dsort(encoded, mesh):
             ):
                 return None, None
 
-        a, b, n_a, n_b, is_pair = progs["lcp_prep"](order, js)
-        off = _sharded.put_global(np.zeros(N, np.int32), sh)
-        for tt in range(len(ranks) - 1, -1, -1):
-            off = progs["lcp_step"](
-                off, ranks[tt], a, b, n_a, n_b, is_pair,
-                jnp.int32(engine.PACK_W << tt),
+        with PROFILER.phase("idx.lcp"):
+            a, b, n_a, n_b, is_pair = progs["lcp_prep"](order, js)
+            off = _sharded.put_global(np.zeros(N, np.int32), sh)
+            for tt in range(len(ranks) - 1, -1, -1):
+                off = progs["lcp_step"](
+                    off, ranks[tt], a, b, n_a, n_b, is_pair,
+                    jnp.int32(engine.PACK_W << tt),
+                )
+            packed_rep = rep_prog(packed)
+            lcp = progs["lcp_tail"](
+                off, packed_rep, a, b, n_a, n_b, is_pair, js
             )
-        packed_rep = rep_prog(packed)
-        lcp = progs["lcp_tail"](
-            off, packed_rep, a, b, n_a, n_b, is_pair, js
-        )
+            _sync(lcp)
 
     # replicated views for the (still single-logical-device) collect
     # cascade — an in-jit resharding (all_gather), valid cross-process
-    order_r = rep_prog(order)
-    lcp_r = rep_prog(lcp)
+    with PROFILER.phase("idx.replicate"):
+        order_r = rep_prog(order)
+        lcp_r = _sync(rep_prog(lcp))
     return (order_r, lcp_r, js), (k, n_max, mg0)

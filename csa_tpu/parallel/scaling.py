@@ -27,6 +27,7 @@ Run standalone (prints one JSON line)::
 from __future__ import annotations
 
 import json
+import os as _os
 import time
 
 import numpy as np
@@ -66,9 +67,12 @@ def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
 
     _force_virtual_devices(max(devices))
 
+    from ..utils.profiling import PROFILER
+
     enc = _synthetic_set(k, n)
     n_dev_avail = len(jax.devices())
     walls = {}
+    stage_walls = {}
     parity_ref = None
     for d in devices:
         if d > n_dev_avail or k % d:
@@ -82,6 +86,17 @@ def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
             rb = engine.rotation_final_jax(enc, mesh=mesh)
             times.append(time.perf_counter() - t0)
         walls[d] = round(min(times), 3)
+        # stage attribution (VERDICT r4 #5): per-phase walls of one run
+        # with stage-boundary syncs (pack / L0 sort / refine / LCP /
+        # replicate / collect front / collect tail)
+        PROFILER.enabled = True
+        PROFILER.reset()
+        engine.rotation_final_jax(enc, mesh=mesh)
+        stage_walls[d] = {
+            name.replace("idx.", ""): round(t, 3)
+            for name, t in sorted(PROFILER.phases.items())
+        }
+        PROFILER.enabled = False
         sig = (
             rb.num_collected,
             rb.num_after_suffix,
@@ -214,6 +229,24 @@ def measure(k: int = 8, n: int = 100_000, devices=(1, 2, 4, 8), reps: int = 2):
     return {
         "workload": f"{k}x{n//1000}kbp synthetic (0.5% mutations)",
         "virtual_mesh_walls_s": walls,
+        "stage_walls_s": stage_walls,
+        # the honest lens for a c-core host running d virtual devices:
+        # every wall contains a min(d, c)/c... i.e. d/c oversubscription
+        # factor of pure timesharing; dividing it out estimates the
+        # per-device-silicon wall.  Stage sums also differ from e2e
+        # walls because stage timing inserts sync barriers.
+        "cores": int(_os.cpu_count() or 1),
+        "timeshare_normalized_walls_s": {
+            d: round(w / max(1, d / (_os.cpu_count() or 1)), 3)
+            for d, w in walls.items()
+        },
+        "stage_walls_normalized_s": {
+            d: {
+                s: round(w / max(1, d / (_os.cpu_count() or 1)), 3)
+                for s, w in sw.items()
+            }
+            for d, sw in stage_walls.items()
+        },
         "giant_merge_seqpar": {
             "shape": f"{Rg}x{Cg} (Set3-scale, {Rg*Cg/1e6:.0f} Mcells)",
             "wall_s_8dev_virtual": round(giant_wall, 2),
