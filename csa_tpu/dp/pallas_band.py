@@ -55,23 +55,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..align.progressive import D_DIAG, D_LEFT, D_UP, GAP
 from ..config import Scoring, scoring as _current_scoring
-from .pallas_profile import K, NEG, BT_UNROLL, _round_up
+from .pallas_profile import (
+    K, NEG, BT_UNROLL, PRI_DIAG, PRI_LEFT, PRI_UP, _round_up,
+)
 
 
-def _band_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
+def _band_kernel(rv_ref, svp_ref, rest_ref, cg_ref,
                  topv_ref, aux_ref, lb_ref, dirs_ref, edge_ref, bot_ref,
                  wroll_ref, dp1_ref, rp_ref, bots_ref,
-                 *, S: int, Cs: int, TP: int, Rb: int, Cloc: int):
+                 *, S: int, Cs: int, TP: int, Rb: int, Cloc: int,
+                 A4: int):
     """One grid step = K anti-diagonals of one (Rb x Cloc) band.
 
-    rv: (S, TP) int32 reversed band codes, per-stripe pre-shifted;
-    f0..f3/cg/topv: (S, Cs) int32 static column channels (topv = the
-    band's top boundary row in lane layout); aux: (S, 128) int32 with
-    [:,0]=rowgap; lb: (Dtot,) int32 SMEM left-boundary value per
-    diagonal.  Outputs: dirs block (K//4, S, Cs) int8 packed; edge
-    block (1, 8, 128) int32 — lane p (any sublane) holds the
-    column-``Cloc`` value of diagonal ``blk*K + p``; bot (S, Cs) int32 —
-    the bottom row (written every block, last write wins).
+    Same x4-scaled priority domain as the full-matrix kernel
+    (``pallas_profile._profile_kernel``): the tie-break is a two-level
+    max over values carrying 2 priority bits, the substitution select a
+    shift/mask of 7-bit packed counts.  All boundary values (topv, lb,
+    halo/bottom outputs) live in the x4 domain end-to-end, so the
+    carried band state never rescales.
+
+    rv: (S, TP) int32 reversed band codes x7, per-stripe pre-shifted;
+    svp/rest/cg/topv: (S, Cs) int32 channels (see the profile kernel);
+    aux: (S, 128) int32 with [:,0]=4*rowgap+PRI_UP; lb: (Dtot,) int32
+    SMEM x4-scaled left-boundary value per diagonal.  Outputs: dirs
+    block (K//4, S, Cs) int8 packed PRIORITIES; edge block (1, 8, 128)
+    int32 — lane p (any sublane) holds the x4 column-``Cloc`` value of
+    diagonal ``blk*K + p``; bot (S, Cs) int32 — the x4 bottom row
+    (written every block, last write wins).
     """
     blk = pl.program_id(0)
     Z = TP - Cs
@@ -91,14 +101,12 @@ def _band_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
     @pl.when(blk == 0)
     def _init():
         wroll_ref[:] = rv_ref[:]
-        dp1_ref[:] = jnp.full((S, Cs), NEG, jnp.int32)
-        rp_ref[:] = jnp.full((S, Cs), NEG, jnp.int32)
+        dp1_ref[:] = jnp.full((S, Cs), 4 * NEG, jnp.int32)
+        rp_ref[:] = jnp.full((S, Cs), 4 * NEG, jnp.int32)
         bots_ref[:] = jnp.zeros((S, Cs), jnp.int32)
 
-    f0 = f0_ref[:]
-    f1 = f1_ref[:]
-    f2 = f2_ref[:]
-    f3 = f3_ref[:]
+    svp = svp_ref[:]
+    rest = rest_ref[:]
     cg = cg_ref[:]
     topv = topv_ref[:]
     rowgap = aux_ref[:, 0:1]
@@ -110,10 +118,9 @@ def _band_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
     acc = jnp.zeros((S, Cs), jnp.int32)
     for phase in range(K):
         t = blk * K + phase
-        w = wroll_ref[:, Z - phase : Z - phase + Cs]
-        f01 = jnp.where(w == 0, f0, f1)
-        f23 = jnp.where(w == 2, f2, f3)
-        sub = jnp.where(w <= 1, f01, f23)
+        w7 = wroll_ref[:, Z - phase : Z - phase + Cs]
+        svw = jax.lax.shift_right_logical(svp, w7) & 127
+        sub = svw * A4 + rest
         a = pltpu.roll(dp1, shift=1, axis=1)
         if S > 1:
             b = pltpu.roll(a, shift=1, axis=0)
@@ -123,22 +130,20 @@ def _band_kernel(rv_ref, f0_ref, f1_ref, f2_ref, f3_ref, cg_ref,
         diag = rp + sub
         up = dp1 + rowgap
         left = lshift + cg
-        dwin = diag >= up
-        m1 = jnp.where(dwin, diag, up)
-        tl = (left > m1) | ((left == m1) & ~dwin)
-        val = jnp.where(tl, left, m1)
-        dcode = jnp.where(tl, D_LEFT, jnp.where(dwin, D_DIAG, D_UP))
-        # boundary injections: column 0 <- lb[t] (halo / global edge),
-        # then row 0 <- topv (so the t == 0 corner takes topv[0])
+        valp = jnp.maximum(jnp.maximum(diag, up), left)
+        pri = valp & 3
+        val = valp - pri
+        # boundary injections (x4-clean): column 0 <- lb[t] (halo /
+        # global edge), then row 0 <- topv (t == 0 corner takes topv[0])
         val = jnp.where(flat0, lb_ref[t], val)
         val = jnp.where(flat == t, topv, val)
         es = jnp.sum(jnp.where(edge_mask, val, 0))
         edge_row = jnp.where(lanes128 == phase, es, edge_row)
         bot = jnp.where(flat == t - Rb, val, bot)
         if phase % 4 == 0:
-            acc = dcode
+            acc = pri
         else:
-            acc = acc + dcode * (4 ** (phase % 4))
+            acc = acc | (pri << (2 * (phase % 4)))
         if phase % 4 == 3:
             dirs_ref[phase // 4, :, :] = acc.astype(jnp.int8)
         rp = lshift
@@ -160,15 +165,15 @@ def _band_shape(Rb: int, Cloc: int, stripes: int = 8):
     return S, Cs, Dtot, TP
 
 
-def _band_call(rv, fs, cg, topv, aux, lb, *, S, Cs, Dtot, TP, Rb, Cloc,
-               interpret):
+def _band_call(rv, svp, rest, cg, topv, aux, lb, *, S, Cs, Dtot, TP, Rb,
+               Cloc, A4, interpret):
     """pallas_call wrapper: returns (dirs_packed (Dtot//4, S, Cs) int8,
     edge (Dtot//K, 8, 128) int32, bot (S, Cs) int32)."""
     nblk = Dtot // K
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[
             pl.BlockSpec(
@@ -189,7 +194,7 @@ def _band_call(rv, fs, cg, topv, aux, lb, *, S, Cs, Dtot, TP, Rb, Cloc,
     )
     return pl.pallas_call(
         functools.partial(
-            _band_kernel, S=S, Cs=Cs, TP=TP, Rb=Rb, Cloc=Cloc
+            _band_kernel, S=S, Cs=Cs, TP=TP, Rb=Rb, Cloc=Cloc, A4=A4
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nblk * (K // 4), S, Cs), jnp.int8),
@@ -201,7 +206,7 @@ def _band_call(rv, fs, cg, topv, aux, lb, *, S, Cs, Dtot, TP, Rb, Cloc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(rv, *fs, cg, topv, aux, lb)
+    )(rv, svp, rest, cg, topv, aux, lb)
 
 
 _PROGRAMS: dict = {}
@@ -246,16 +251,21 @@ def _band_fill_program(mesh, R: int, C: int, D: int, Rb: int, sc: Scoring,
             return jnp.concatenate([z, x, pad]).reshape(S, Cs)
 
         svg = sv32[:, GAP]
-        fs = [
-            chan(A * sv32[:, b] + Bc * svg + sc.mismatch * i32)
-            for b in range(4)
-        ]
-        cgch = chan(sc.doublegap * svg + sc.indel * (i32 - svg))
-        aux = jnp.zeros((S, 128), jnp.int32).at[:, 0].set(sc.indel * i32)
-        # top boundary of band 0: global top_row columns [d*Cloc ..
-        # d*Cloc + Cloc] in lane layout
+        svpack = chan(
+            sv32[:, 0] | (sv32[:, 1] << 7) | (sv32[:, 2] << 14)
+            | (sv32[:, 3] << 21)
+        )
+        restch = chan(4 * (Bc * svg + sc.mismatch * i32) + PRI_DIAG)
+        cgch = chan(
+            4 * (sc.doublegap * svg + sc.indel * (i32 - svg)) + PRI_LEFT
+        )
+        aux = jnp.zeros((S, 128), jnp.int32).at[:, 0].set(
+            4 * sc.indel * i32 + PRI_UP
+        )
+        # top boundary of band 0 (x4 domain): global top_row columns
+        # [d*Cloc .. d*Cloc + Cloc] in lane layout
         c0 = d * jnp.int32(Cloc)
-        top_slice = jax.lax.dynamic_slice(top, (c0,), (Cloc + 1,))
+        top_slice = 4 * jax.lax.dynamic_slice(top, (c0,), (Cloc + 1,))
         topv0 = jnp.concatenate(
             [top_slice, jnp.zeros(Cpad - Cloc - 1, jnp.int32)]
         ).reshape(S, Cs)
@@ -275,10 +285,10 @@ def _band_fill_program(mesh, R: int, C: int, D: int, Rb: int, sc: Scoring,
             codes_band = jax.lax.dynamic_slice(
                 codes, (bb * jnp.int32(Rb),), (Rb,)
             ).astype(jnp.int32)
-            rv = jnp.where(valid, codes_band[srcc], jnp.int32(4))
+            rv = jnp.where(valid, codes_band[srcc], jnp.int32(4)) * 7
             # left boundary per diagonal: device 0 owns the global
             # column-0 edge (linear form); others take the neighbor halo
-            lb_edge = (bb * jnp.int32(Rb) + trange) * edge_rowgap
+            lb_edge = (bb * jnp.int32(Rb) + trange) * (4 * edge_rowgap)
             lb_halo = jnp.concatenate(
                 [jnp.zeros(1, jnp.int32), halo_in,
                  jnp.zeros(Dtot - Rb - 1, jnp.int32)]
@@ -286,8 +296,9 @@ def _band_fill_program(mesh, R: int, C: int, D: int, Rb: int, sc: Scoring,
             lb = jnp.where(d == 0, lb_edge, lb_halo).astype(jnp.int32)
             topv_in = jnp.where(first & (b == 0), topv0, topv)
             dirs_p, edge, bot = _band_call(
-                rv, fs, cgch, topv_in, aux, lb, S=S, Cs=Cs, Dtot=Dtot,
-                TP=TP, Rb=Rb, Cloc=Cloc, interpret=interpret,
+                rv, svpack, restch, cgch, topv_in, aux, lb, S=S, Cs=Cs,
+                Dtot=Dtot, TP=TP, Rb=Rb, Cloc=Cloc, A4=4 * A,
+                interpret=interpret,
             )
             edge_flat = edge[:, 0, :K].reshape(-1)        # (Dtot,)
             halo_out = jax.lax.dynamic_slice(
@@ -369,7 +380,10 @@ def _band_path_program(mesh, R: int, C: int, D: int, Rb: int, sc: Scoring,
                     ].astype(jnp.int32)
                     & 0xFF
                 )
-                dmain = jax.lax.shift_right_logical(byte, 2 * (td % 4)) & 3
+                # stored priorities -> direction codes via 2 - pri
+                dmain = 2 - (
+                    jax.lax.shift_right_logical(byte, 2 * (td % 4)) & 3
+                )
                 dcode = jnp.where(
                     inmain,
                     dmain.astype(jnp.int8),

@@ -212,16 +212,20 @@ def _backtrack(dirs_packed, g, rr, cc, *, S: int, Cs: int, L: int):
             t = jnp.where(active, t + 1, t)
         return (j, c, t, path)
 
-    path0 = jnp.zeros(L, jnp.int8)
+    # constants seeded from a varying input: keeps the varying-axes
+    # checker satisfied under shard_map (see wavefront._rowscan_path)
+    t0 = rr * jnp.int32(0)
+    path0 = jnp.zeros(L, jnp.int8) + t0.astype(jnp.int8)
     _, _, nsteps, path = jax.lax.while_loop(
-        cond, body, (rr, cc, jnp.int32(0), path0)
+        cond, body, (rr, cc, t0, path0)
     )
     return path, nsteps
 
 
 def _profile_paths_core(codes, sv, iv, top, erg, rr, cc, *, G: int,
                         S: int, Cs: int, Dtot: int, TP: int, Rmax: int,
-                        Cmax: int, sc: Scoring, interpret: bool):
+                        Cmax: int, sc: Scoring, interpret: bool,
+                        vma: frozenset | None = None):
     """Device-side prep + pallas fill + vmapped backtrack (unjitted).
 
     codes (G, Rmax) int8; sv (G, Cmax, 5) int8; iv/erg/rr/cc (G,) int32;
@@ -296,9 +300,18 @@ def _profile_paths_core(codes, sv, iv, top, erg, rr, cc, *, G: int,
             pltpu.VMEM((B, Cs), jnp.int32),
         ],
     )
+    # under shard_map with varying-axes checking, the pallas output's
+    # manual-axes set must be stated explicitly (it is fully varying
+    # over the gap axis)
+    if vma:
+        out_sds = jax.ShapeDtypeStruct(
+            (nblk * (K // 4), B, Cs), jnp.int8, vma=vma
+        )
+    else:
+        out_sds = jax.ShapeDtypeStruct((nblk * (K // 4), B, Cs), jnp.int8)
     dirs_packed = pl.pallas_call(
         functools.partial(_profile_kernel, S=S, Cs=Cs, TP=TP, A4=4 * A),
-        out_shape=jax.ShapeDtypeStruct((nblk * (K // 4), B, Cs), jnp.int8),
+        out_shape=out_sds,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -318,7 +331,7 @@ def _profile_paths_core(codes, sv, iv, top, erg, rr, cc, *, G: int,
 _profile_paths_program = functools.partial(
     jax.jit,
     static_argnames=("G", "S", "Cs", "Dtot", "TP", "Rmax", "Cmax", "sc",
-                     "interpret"),
+                     "interpret", "vma"),
 )(_profile_paths_core)
 
 
@@ -399,6 +412,7 @@ def _sharded_paths_program(mesh, Gl: int, S: int, Cs: int, Dtot: int,
         return _profile_paths_core(
             codes, sv, iv, top, erg, rr, cc, G=Gl, S=S, Cs=Cs, Dtot=Dtot,
             TP=TP, Rmax=Rmax, Cmax=Cmax, sc=sc, interpret=interpret,
+            vma=frozenset({"gap"}),
         )
 
     gspec = P("gap")
@@ -408,9 +422,12 @@ def _sharded_paths_program(mesh, Gl: int, S: int, Cs: int, Dtot: int,
             mesh=mesh,
             in_specs=(gspec,) * 7,
             out_specs=(gspec, gspec),
-            # per-shard-local body, no collectives; the while_loop carry
-            # trips the static varying-axes checker (same waiver as
-            # wavefront._sharded_path_program)
+            # JAX limitation (its own error text says to waive): pallas
+            # scratch reads surface as unvarying inside the checker
+            # ("Primitive shift_right_logical requires varying manual
+            # axes to match ... as a temporary workaround pass
+            # check_vma=False").  The row-scan sharded program and the
+            # seqpar fill DO run with full vma checking.
             check_vma=False,
         )
     )

@@ -127,10 +127,13 @@ def _seqpar_program(mesh, R: int, C: int, D: int, Rb: int, sc: Scoring):
                 active, dirs_band, jnp.int8(0)
             )
 
+        # carry constants seeded varying over the mesh axis (halo from
+        # axis_index, flag from a varying comparison) so the static
+        # varying-axes checker passes without check_vma=False
         carry0 = (
             prev_ext0,
-            jnp.zeros(Rb, jnp.int32),
-            jnp.ones((), bool),
+            jnp.zeros(Rb, jnp.int32) + d * jnp.int32(0),
+            d == d,
         )
         _, ys = jax.lax.scan(
             superstep, carry0, jnp.arange(nsteps, dtype=jnp.int32)
@@ -147,7 +150,6 @@ def _seqpar_program(mesh, R: int, C: int, D: int, Rb: int, sc: Scoring):
             mesh=mesh,
             in_specs=(P(), P("col", None), P(), P(), P()),
             out_specs=P(None, "col"),
-            check_vma=False,
         )
     )
     _PROGRAMS[key] = prog

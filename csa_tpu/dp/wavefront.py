@@ -180,9 +180,13 @@ def _rowscan_path(
             t = jnp.where(active, t + 1, t)
         return (j, c, t, path)
 
-    path0 = jnp.zeros(L, jnp.int8)
+    # seed the carry's constants FROM a varying input (t0 = 0, path0 =
+    # zeros, but typed varying over the shard_map axis when one is
+    # present) so the varying-axes checker passes without check_vma=False
+    t0 = r_real * jnp.int32(0)
+    path0 = jnp.zeros(L, jnp.int8) + t0.astype(jnp.int8)
     _, _, nsteps, path = jax.lax.while_loop(
-        cond, body, (r_real, c_real, jnp.int32(0), path0)
+        cond, body, (r_real, c_real, t0, path0)
     )
     return path, nsteps
 
@@ -397,10 +401,6 @@ def _sharded_path_program(mesh, Rp: int, Cp: int, sc):
             mesh=mesh,
             in_specs=(gspec,) * 7,
             out_specs=(gspec, gspec),
-            # the while_loop carries start as unvarying constants and come
-            # back varying over "gap"; skip the static varying-axes check
-            # (the body is per-shard-local with no collectives)
-            check_vma=False,
         )
     )
     _SHARDED_PROGRAMS[key] = prog

@@ -1507,40 +1507,51 @@ def _device_build(encoded: Sequence[np.ndarray], mesh=None):
     else:
         jc = jnp.asarray(codes)
         js = jnp.asarray(sizes)
-    packed = _pack_keys_program(jc, js, k=k, n_max=n_max)
-    order, rank, num_tied, max_group = _level0_program(
-        packed, js, k=k, n_max=n_max
-    )
-    ranks = [rank]
-    mg0 = int(max_group)
-    nt = int(num_tied)
-    t = 0
-    while nt > 0 and (PACK_W << t) < n_max:
-        order, rank, num_tied, max_group = _refine_program(
-            rank, js, jnp.int32(PACK_W << t), k=k, n_max=n_max
+    from ..utils.profiling import PROFILER
+
+    with PROFILER.phase("idx.pack"):
+        packed = _pack_keys_program(jc, js, k=k, n_max=n_max)
+        if PROFILER.enabled:
+            jax.block_until_ready(packed)
+    with PROFILER.phase("idx.l0_sort"):
+        order, rank, num_tied, max_group = _level0_program(
+            packed, js, k=k, n_max=n_max
         )
-        ranks.append(rank)
+        ranks = [rank]
+        mg0 = int(max_group)
         nt = int(num_tied)
-        t += 1
+    t = 0
+    with PROFILER.phase("idx.refine"):
+        while nt > 0 and (PACK_W << t) < n_max:
+            order, rank, num_tied, max_group = _refine_program(
+                rank, js, jnp.int32(PACK_W << t), k=k, n_max=n_max
+            )
+            ranks.append(rank)
+            nt = int(num_tied)
+            t += 1
     if nt > 0 and bool(
         _dup_check_program(order, rank, js, k=k, n_max=n_max)
     ):
         return None, None
 
     # adjacent-pair LCP: binary descent over the stored levels + tail
-    n_total = k * n_max
-    a = order[:-1]
-    b = order[1:]
-    n_of = _n_of_flat(js, k, n_max)
-    n_a = n_of[a]
-    n_b = n_of[b]
-    off = jnp.zeros(n_total - 1, jnp.int32)
-    for tt in range(len(ranks) - 1, -1, -1):
-        off = _lcp_step_program(
-            off, ranks[tt], a, b, n_a, n_b, jnp.int32(PACK_W << tt),
-            k=k, n_max=n_max,
-        )
-    raw, lcp = _lcp_tail_program(off, packed, order, js, k=k, n_max=n_max)
+    with PROFILER.phase("idx.lcp"):
+        n_total = k * n_max
+        a = order[:-1]
+        b = order[1:]
+        n_of = _n_of_flat(js, k, n_max)
+        n_a = n_of[a]
+        n_b = n_of[b]
+        off = jnp.zeros(n_total - 1, jnp.int32)
+        for tt in range(len(ranks) - 1, -1, -1):
+            off = _lcp_step_program(
+                off, ranks[tt], a, b, n_a, n_b, jnp.int32(PACK_W << tt),
+                k=k, n_max=n_max,
+            )
+        raw, lcp = _lcp_tail_program(off, packed, order, js, k=k,
+                                     n_max=n_max)
+        if PROFILER.enabled:
+            jax.block_until_ready(lcp)
     return (order, lcp, js), (k, n_max, mg0)
 
 

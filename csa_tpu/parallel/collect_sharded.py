@@ -260,7 +260,7 @@ def collect_front_program(mesh: Mesh, *, k: int, n_max: int, tdeep: int):
     prog = jax.jit(
         _shard_map(
             body, mesh=mesh, in_specs=(sp, sp, P()),
-            out_specs=(sp, sp, sp), check_vma=False,
+            out_specs=(sp, sp, sp),
         )
     )
     _PROGRAMS[key] = prog

@@ -186,7 +186,6 @@ def sharded_sort_program(mesh: Mesh, axis: str):
     prog = jax.jit(
         _shard_map(
             body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-            check_vma=False,
         )
     )
     _PROGRAMS[key] = prog

@@ -253,7 +253,6 @@ def _ladder_programs(mesh: Mesh, k: int, n_max: int):
         return jax.jit(
             _shard_map(
                 fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_vma=False,
             )
         )
 

@@ -137,8 +137,10 @@ def _merge_stage(mesh: Mesh, k_real: int):
 
     * uniqueness = psum of per-shard "occurs exactly once" votes == k
       (removeNonUniqueNodes semantics, csamsa.c:230-257);
-    * positions  = all_gather of per-shard first-occurrence columns
-      (collectPositions, csamsa.c:114-123).
+    * positions  = per-shard first-occurrence columns assembled along
+      the "seq" axis by the output sharding — the gather the reference's
+      collectPositions (csamsa.c:114-123) does serially happens as the
+      out-spec's implicit all-gather when a replicated consumer reads it.
     """
 
     def body(M_l, Mpos_l, bstart, bend, valid):
@@ -146,19 +148,13 @@ def _merge_stage(mesh: Mesh, k_real: int):
         votes_local = jnp.sum((cnts == 1).astype(jnp.int32), axis=0)
         votes = jax.lax.psum(votes_local, "seq")
         unique = (votes == jnp.int32(k_real)) & valid
-        positions = jax.lax.all_gather(
-            first_pos, "seq", axis=0, tiled=True
-        )  # (k, cap)
-        return unique, positions
+        return unique, first_pos
 
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(P("seq", None), P("seq", None), P(), P(), P()),
-        out_specs=(P(), P(None, None)),
-        # all_gather(tiled) output IS replicated over "seq", but the
-        # varying-mesh-axes inference can't prove it; skip the static check
-        check_vma=False,
+        out_specs=(P(), P("seq", None)),
     )
 
 
