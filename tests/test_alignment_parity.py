@@ -172,3 +172,71 @@ def test_set3_jax_backend_end_to_end_identical(tmp_path):
     ]
     mine = [l for l in out.read_text().splitlines() if not l.startswith(">")]
     assert mine == ref
+
+
+def test_blocked_his_matches_brute_force():
+    """The round-5 blocked HIS (2k-item blocks, early-exit dominance
+    scan, block splits) must reproduce the original full-scan semantics
+    exactly — chain order, weights, and backtrack links — on a set
+    large enough to force multiple block splits."""
+    import numpy as np
+
+    from csa_tpu.align import machine
+
+    rng = np.random.default_rng(42)
+    k = 3
+    M = 6000
+    nodes = []
+    base = np.sort(rng.choice(500_000, size=M, replace=False))
+    for m in range(M):
+        size = int(rng.integers(5, 60))
+        p0 = int(base[m])
+        positions = [[p0]] + [
+            [p0 + int(rng.integers(-200, 200))] for _ in range(k - 1)
+        ]
+        nodes.append(
+            machine.BorderNode(size=size, positions=positions)
+            if hasattr(machine, "BorderNode")
+            else type("N", (), {"size": size, "positions": positions})()
+        )
+    endpos = [600_000] * k
+    bl = machine.BorderList(list(nodes), k)
+    got = bl.calculate_his(endpos)
+
+    # brute force: the pre-round-5 full-scan formulation
+    endpos_arr = np.asarray(endpos)
+    chain = []  # list of [positions, size, weight, backtrack_idx]
+    order = sorted(range(M), key=lambda m: nodes[m].positions[0][0])
+    for m in order:
+        positions = np.array(
+            [nodes[m].positions[i][0] for i in range(k)], dtype=np.int64
+        )
+        size = nodes[m].size
+        trims = endpos_arr - positions
+        mask = positions + size >= endpos_arr
+        if mask.any():
+            size = min(size, int(trims[mask].min()))
+        weight = size
+        backtrack = None
+        for item in chain:
+            if np.all(positions >= item[0] + item[1]):
+                weight += item[2]
+                backtrack = item
+                break
+        new = [positions, size, weight, backtrack]
+        ins = 0
+        while ins < len(chain) and chain[ins][2] > weight:
+            ins += 1
+        chain.insert(ins, new)
+
+    assert len(got) == len(chain)
+    for g, w in zip(got, chain):
+        assert np.array_equal(g.positions, w[0])
+        assert g.size == w[1]
+        assert g.weight == w[2]
+        if w[3] is None:
+            assert g.backtrack is None
+        else:
+            assert g.backtrack is not None
+            assert np.array_equal(g.backtrack.positions, w[3][0])
+            assert g.backtrack.weight == w[3][2]
