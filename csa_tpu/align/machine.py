@@ -269,10 +269,21 @@ class BorderList:
         """
         k = self.k
         BLK = 2048
-        pos_blocks: List[np.ndarray] = []
-        end_blocks: List[np.ndarray] = []
-        w_blocks: List[np.ndarray] = []
-        item_blocks: List[List[ChainItem]] = []
+        CAP = 2 * BLK + 2
+
+        class _Blk:
+            __slots__ = ("end", "w", "items", "n")
+
+            def __init__(self):
+                # capacity arrays + in-place shifted inserts: ~2x the
+                # np.insert reallocation; the (positions) columns are
+                # write-only in the scan and not stored at all
+                self.end = np.empty((CAP, k), dtype=np.int64)
+                self.w = np.empty(CAP, dtype=np.int64)
+                self.items: List[ChainItem] = []
+                self.n = 0
+
+        blocks: List[_Blk] = []
         endpos_arr = np.asarray(endpos, dtype=np.int64)
 
         node = self.first.next
@@ -289,14 +300,24 @@ class BorderList:
                 newsize = min(newsize, int(trims[mask].min()))
             item = ChainItem(positions=positions, size=newsize, weight=newsize)
 
-            # first chain item (in weight order) entirely below this one
-            for bi in range(len(w_blocks)):
-                ge = np.all(positions[None, :] >= end_blocks[bi], axis=1)
+            # first chain item (in weight order) entirely below this
+            # one; the hit is almost always within the first few
+            # entries of the head block (the current heaviest chains),
+            # so probe a 64-row prefix before the full block
+            hit_b = hit_j = None
+            for b in blocks:
+                if b.n > 64:
+                    ge = (positions >= b.end[:64]).all(axis=1)
+                    if ge.any():
+                        hit_b, hit_j = b, int(np.argmax(ge))
+                        break
+                ge = (positions >= b.end[: b.n]).all(axis=1)
                 if ge.any():
-                    j = int(np.argmax(ge))
-                    item.weight += int(w_blocks[bi][j])
-                    item.backtrack = item_blocks[bi][j]
+                    hit_b, hit_j = b, int(np.argmax(ge))
                     break
+            if hit_b is not None:
+                item.weight += int(hit_b.w[hit_j])
+                item.backtrack = hit_b.items[hit_j]
 
             # insertion: first index (from head) with weight <= new
             # (the reference's backward walk from the GreaterThan hit
@@ -304,40 +325,37 @@ class BorderList:
             # hit's weight is strictly below the new weight)
             w = item.weight
             target = None
-            for bi in range(len(w_blocks)):
-                if len(w_blocks[bi]) == 0 or w_blocks[bi][-1] <= w:
-                    target = bi
+            for b in blocks:
+                if b.n == 0 or b.w[b.n - 1] <= w:
+                    target = b
                     break
             if target is None:
-                if not w_blocks or len(w_blocks[-1]) >= 2 * BLK:
-                    pos_blocks.append(np.empty((0, k), dtype=np.int64))
-                    end_blocks.append(np.empty((0, k), dtype=np.int64))
-                    w_blocks.append(np.empty(0, dtype=np.int64))
-                    item_blocks.append([])
-                target = len(w_blocks) - 1
-                ins = len(w_blocks[target])
+                if not blocks or blocks[-1].n >= 2 * BLK:
+                    blocks.append(_Blk())
+                target = blocks[-1]
+                ins = target.n
             else:
                 ins = int(
-                    np.searchsorted(-w_blocks[target], -w, side="left")
+                    np.searchsorted(-target.w[: target.n], -w, side="left")
                 )
-            pos_blocks[target] = np.insert(
-                pos_blocks[target], ins, positions, axis=0
-            )
-            end_blocks[target] = np.insert(
-                end_blocks[target], ins, positions + item.size, axis=0
-            )
-            w_blocks[target] = np.insert(w_blocks[target], ins, w)
-            item_blocks[target].insert(ins, item)
-            if len(w_blocks[target]) > 2 * BLK:
+            n = target.n
+            target.end[ins + 1 : n + 1] = target.end[ins:n]
+            target.end[ins] = positions + item.size
+            target.w[ins + 1 : n + 1] = target.w[ins:n]
+            target.w[ins] = w
+            target.items.insert(ins, item)
+            target.n = n + 1
+            if target.n > 2 * BLK:
                 # split the block in half; order is preserved
-                h = len(w_blocks[target]) // 2
-                for blocks in (pos_blocks, end_blocks, w_blocks):
-                    tail = blocks[target][h:]
-                    blocks[target] = blocks[target][:h]
-                    blocks.insert(target + 1, tail)
-                itail = item_blocks[target][h:]
-                item_blocks[target] = item_blocks[target][:h]
-                item_blocks.insert(target + 1, itail)
+                h = target.n // 2
+                tail = _Blk()
+                tail.n = target.n - h
+                tail.end[: tail.n] = target.end[h : target.n]
+                tail.w[: tail.n] = target.w[h : target.n]
+                tail.items = target.items[h:]
+                target.items = target.items[:h]
+                target.n = h
+                blocks.insert(blocks.index(target) + 1, tail)
 
             nextnode = node.next
             if node.activeposcount[0] > 1:
@@ -350,6 +368,6 @@ class BorderList:
                     nextnode = node
             node = nextnode
         chain: List[ChainItem] = []
-        for items in item_blocks:
-            chain.extend(items)
+        for b in blocks:
+            chain.extend(b.items)
         return chain
