@@ -431,10 +431,18 @@ def bench_mbp_full_pipeline():
             bdir = os.path.join(work, backend)
             os.makedirs(bdir, exist_ok=True)
             shutil.copy(fasta, bdir)
-            r0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
             t0 = time.perf_counter()
+            # nested wrapper: RUSAGE_CHILDREN in THIS process is a
+            # running max over every earlier bench subprocess; the
+            # wrapper's own children are exactly the one CLI run
             proc = subprocess.run(
-                [sys.executable, "-m", "csa_tpu.cli", "m1.fasta",
+                [sys.executable, "-c",
+                 "import resource, subprocess, sys;"
+                 "rc = subprocess.call(sys.argv[1:]);"
+                 "ru = resource.getrusage(resource.RUSAGE_CHILDREN);"
+                 "print('CSA_RSS_KB', ru.ru_maxrss);"
+                 "sys.exit(rc)",
+                 sys.executable, "-m", "csa_tpu.cli", "m1.fasta",
                  "--backend", backend],
                 cwd=bdir, capture_output=True, text=True, timeout=5400,
                 env={**os.environ,
@@ -442,11 +450,14 @@ def bench_mbp_full_pipeline():
                      + os.environ.get("PYTHONPATH", "")},
             )
             wall = time.perf_counter() - t0
-            rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+            rss = 0
+            for line in proc.stdout.splitlines():
+                if line.startswith("CSA_RSS_KB "):
+                    rss = int(line.split()[1])
             ok = proc.returncode == 0 and "> Done!" in proc.stdout
             out[f"mbp_full_pipeline_{backend}_wall_s"] = round(wall, 1)
             out[f"mbp_full_pipeline_{backend}_peak_rss_gb"] = round(
-                max(rss, r0) / 1e6, 2
+                rss / 1e6, 2
             )
             out[f"mbp_full_pipeline_{backend}_ok"] = ok
             out[f"mbp_full_pipeline_{backend}_integrity"] = (

@@ -445,15 +445,23 @@ def dp_paths_device_sharded(items, mesh=None):
 
 def _fetch_global(paths, nsteps):
     """Materialize sharded outputs as host arrays; on a multi-process
-    mesh the shards are gathered across processes first (every process
-    gets the full result — the dryrun parity contract)."""
+    mesh the outputs are replicated first (an in-jit resharding — the
+    same all-gather pattern dsort_ladder uses cross-process), so every
+    process can read the full result locally."""
     import jax as _jax
 
     if _jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec
 
-        return (
-            multihost_utils.process_allgather(paths, tiled=True),
-            multihost_utils.process_allgather(nsteps, tiled=True),
-        )
+        mesh = paths.sharding.mesh
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        @_jax.jit
+        def _rep(a, b):
+            return (
+                _jax.lax.with_sharding_constraint(a, rep),
+                _jax.lax.with_sharding_constraint(b, rep),
+            )
+
+        paths, nsteps = _rep(paths, nsteps)
     return np.asarray(paths), np.asarray(nsteps)

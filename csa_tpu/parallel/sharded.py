@@ -158,6 +158,21 @@ def _merge_stage(mesh: Mesh, k_real: int):
     )
 
 
+_REPLICATE_CACHE: dict = {}
+
+
+def _replicate(mesh: Mesh):
+    """Jitted full replication over ``mesh`` (cached per mesh)."""
+    prog = _REPLICATE_CACHE.get(id(mesh))
+    if prog is None:
+        rep = NamedSharding(mesh, P())
+        prog = jax.jit(
+            lambda x: jax.lax.with_sharding_constraint(x, rep)
+        )
+        _REPLICATE_CACHE[id(mesh)] = prog
+    return prog
+
+
 def rotation_blocks_sharded(
     encoded: Sequence[np.ndarray],
     mesh: Optional[Mesh] = None,
@@ -202,6 +217,10 @@ def rotation_blocks_sharded(
             slots=slots, mesh=mesh,
         )
         unique, positions = merge(M, Mpos, bstart, bend, valid)
+        # positions leaves the merge sharded P("seq", None); replicate
+        # before the host fetch (required on cross-process meshes, an
+        # in-jit all-gather otherwise)
+        positions = _replicate(mesh)(positions)
         h = np.asarray(header)
         dup, nb, ndepth = int(h[0]), int(h[1]), int(h[2])
         if dup:
