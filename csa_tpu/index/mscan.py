@@ -89,11 +89,19 @@ def _use_kernel() -> bool:
     import os
 
     impl = os.environ.get("CSA_TPU_MSCAN", "")
-    if impl == "kernel":
+    if impl in ("kernel", "interpret"):
         return True
     if impl == "xla":
         return False
     return jax.default_backend() not in ("cpu",)
+
+
+def _force_interpret() -> bool:
+    """CSA_TPU_MSCAN=interpret runs the Mosaic kernel through the
+    pallas interpreter — the CPU test hook for the integrated path."""
+    import os
+
+    return os.environ.get("CSA_TPU_MSCAN", "") == "interpret"
 
 
 def multi_cummax(chans, *, reverse: bool = False,
@@ -105,6 +113,7 @@ def multi_cummax(chans, *, reverse: bool = False,
     M scanned channels instead of the full (M, N) result."""
     chans = jnp.asarray(chans, jnp.int32)
     M, N = chans.shape
+    interpret = interpret or _force_interpret()
     if not (force_kernel or _use_kernel()):
         if reverse:
             chans = chans[:, ::-1]

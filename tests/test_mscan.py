@@ -74,3 +74,30 @@ def test_xla_fallback_matches():
         mscan.multi_cummax(x, interpret=True, force_kernel=True)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_collect_front_through_interpreted_kernel(monkeypatch):
+    """The INTEGRATED mscan path (collect front's PSV/NSV + coverage
+    through the Mosaic kernel) matches the numpy cascade — exercised on
+    CPU via the pallas interpreter (CSA_TPU_MSCAN=interpret), since the
+    default CPU run takes the lax fallback."""
+    monkeypatch.setenv("CSA_TPU_MSCAN", "interpret")
+    # the env gate is read at TRACE time; drop any cached traces of the
+    # same shapes so the kernel branch is really taken
+    jax.clear_caches()
+    rng = np.random.default_rng(3)
+    from csa_tpu.index import cyclic, engine
+
+    n = 400
+    base = rng.integers(0, 4, size=n)
+    encoded = []
+    for _ in range(4):
+        row = np.roll(base, int(rng.integers(0, n))).copy()
+        idx = rng.integers(0, n, size=6)
+        row[idx] = rng.integers(0, 4, size=6)
+        encoded.append(row.astype(np.int64))
+    index, got = engine.collect_blocks_jax(encoded)
+    want_index = cyclic.build_rotation_index(encoded)
+    want = cyclic.collect_blocks(want_index)
+    np.testing.assert_array_equal(np.sort(got.start), np.sort(want.start))
+    np.testing.assert_array_equal(np.sort(got.depth), np.sort(want.depth))
