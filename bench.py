@@ -406,7 +406,6 @@ def bench_mbp_full_pipeline():
 
     Runs as subprocesses for clean peak-RSS accounting.  Gate:
     ``CSA_TPU_BENCH_MBP_FULL=0`` skips (the pair costs ~12 min)."""
-    import resource
     import shutil
     import tempfile
 
