@@ -65,6 +65,8 @@ import os as _os
 # diagonals per grid step (multiple of 4 for packing); overridable for
 # benchmarking the unroll trade-off without editing cached-compile keys
 K = int(_os.environ.get("CSA_TPU_PROFILE_K", "16"))
+if K < 4 or K % 4:
+    raise ValueError("CSA_TPU_PROFILE_K must be a positive multiple of 4")
 BT_UNROLL = 48       # backtrack steps per while_loop iteration
 
 
